@@ -1,0 +1,137 @@
+"""Flax ViT image encoder (BLIP's ViT-L/16).
+
+Topology matches the reference `Files to replace for BLIP/vit.py`:
+- conv patch embed (patch 16), prepended CLS token, learned absolute
+  position embeddings (vit.py:220-231, :274-296),
+- pre-LayerNorm blocks: x += attn(LN(x)); x += mlp(LN(x)) (vit.py:163-168),
+- GELU MLP with ratio 4, final LayerNorm (vit.py:255, :285-294),
+- ViT-L: depth 24, width 1024, 16 heads (vit.py:511-523).
+
+TPU-native differences from the reference (deliberate):
+- NHWC image layout (XLA-preferred on TPU) instead of NCHW,
+- bfloat16 compute with float32 LayerNorm/softmax,
+- self-attention runs through the flash kernel (ops/flash_attention.py)
+  instead of materialising [B, H, S, S] probabilities (vit.py:104-113);
+  attention-capture hooks are not ported because the ITM GradCAM path never
+  reads ViT attention (reference calls forward_features with
+  register_blk=-1, vit.py:535-536).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pnp_ovss_tpu.config import ViTConfig
+from pnp_ovss_tpu.ops import attention as attn_ops
+
+
+class ViTSelfAttention(nn.Module):
+    cfg: ViTConfig
+    impl: str = "pallas"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = self.cfg
+        dtype = jnp.dtype(c.dtype)
+        b, s, _ = x.shape
+        qkv = nn.Dense(3 * c.hidden_size, dtype=dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, s, 3, c.num_heads, c.head_dim)
+        q, k, v = (
+            jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)
+        )
+        out = attn_ops.mha(q, k, v, impl=self.impl, out_dtype=dtype)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, s, c.hidden_size)
+        return nn.Dense(c.hidden_size, dtype=dtype, name="proj")(out)
+
+
+class ViTBlock(nn.Module):
+    cfg: ViTConfig
+    impl: str = "pallas"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = self.cfg
+        dtype = jnp.dtype(c.dtype)
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
+                         name="norm1")(x).astype(dtype)
+        x = x + ViTSelfAttention(c, impl=self.impl, name="attn")(h)
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
+                         name="norm2")(x).astype(dtype)
+        h = nn.Dense(int(c.hidden_size * c.mlp_ratio), dtype=dtype,
+                     name="mlp_fc1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(c.hidden_size, dtype=dtype, name="mlp_fc2")(h)
+        return x + h
+
+
+class VisionTransformer(nn.Module):
+    """Returns patch-token embeddings [B, 1 + P*P, hidden] (CLS first)."""
+
+    cfg: ViTConfig
+    impl: str = "pallas"
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        """images: [B, H, W, 3] float (already CLIP-normalised, NHWC)."""
+        c = self.cfg
+        dtype = jnp.dtype(c.dtype)
+        b = images.shape[0]
+
+        x = nn.Conv(
+            c.hidden_size,
+            kernel_size=(c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            padding="VALID",
+            dtype=dtype,
+            name="patch_embed",
+        )(images.astype(dtype))
+        x = x.reshape(b, c.num_patches, c.hidden_size)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02),
+            (1, 1, c.hidden_size), jnp.float32,
+        )
+        pos_embed = self.param(
+            "pos_embed", nn.initializers.truncated_normal(0.02),
+            (1, c.seq_len, c.hidden_size), jnp.float32,
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_token.astype(dtype), (b, 1, c.hidden_size)), x],
+            axis=1,
+        )
+        x = x + pos_embed.astype(dtype)
+
+        for i in range(c.num_layers):
+            x = ViTBlock(c, impl=self.impl, name=f"block_{i}")(x)
+
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
+                         name="norm")(x)
+        return x.astype(dtype)
+
+
+def interpolate_pos_embed(
+    pos_embed: jax.Array, target_num_patches: int
+) -> jax.Array:
+    """Bicubic-resample grid position embeddings to a new patch count.
+
+    Mirrors the semantics of the reference's checkpoint loader
+    (vit.py:435-465, base_model.py:86-127): the CLS entry is preserved and
+    the [g, g] grid entries are 2D-resized to the new grid.
+    """
+    _, n, dim = pos_embed.shape
+    num_extra = 1  # CLS
+    orig_grid = int((n - num_extra) ** 0.5)
+    new_grid = int(target_num_patches**0.5)
+    if orig_grid == new_grid:
+        return pos_embed
+    extra = pos_embed[:, :num_extra]
+    grid = pos_embed[:, num_extra:].reshape(1, orig_grid, orig_grid, dim)
+    grid = jax.image.resize(
+        grid, (1, new_grid, new_grid, dim), method="bicubic"
+    )
+    grid = grid.reshape(1, new_grid * new_grid, dim)
+    return jnp.concatenate([extra, grid], axis=1)

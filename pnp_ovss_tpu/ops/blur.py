@@ -1,0 +1,79 @@
+"""Separable Gaussian blur matching scipy.ndimage.gaussian_filter.
+
+The reference blurs each class map at ground-truth resolution with
+``gaussian_filter(att, 0.05 * max(H, W))`` then min-max normalises
+(driver :1149-1153). scipy semantics reproduced here:
+
+- kernel: discretised Gaussian, truncated at ``truncate * sigma`` (scipy
+  default truncate=4.0), normalised to sum 1,
+- boundary mode "reflect" (scipy default, i.e. (d c b a | a b c d)).
+
+TPU-native formulation: the 1D convolutions (radius up to ~100 taps at
+sigma≈25) are folded into dense [N, N] band matrices applied as two matmuls
+on the MXU — faster than a long explicit conv chain on the VPU and trivially
+batched over classes and images.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _reflect_index(i: np.ndarray, n: int) -> np.ndarray:
+    """scipy 'reflect' boundary: (d c b a | a b c d | d c b a)."""
+    if n == 1:
+        return np.zeros_like(i)
+    period = 2 * n
+    i = np.mod(i, period)
+    i = np.where(i < 0, i + period, i)
+    return np.where(i < n, i, period - 1 - i)
+
+
+@functools.lru_cache(maxsize=64)
+def _blur_matrix_np(n: int, sigma: float, truncate: float) -> np.ndarray:
+    """[n, n] matrix equivalent to 1D gaussian_filter with reflect mode."""
+    radius = int(truncate * float(sigma) + 0.5)
+    k = _gaussian_kernel1d(float(sigma), radius)
+    a = np.zeros((n, n), np.float32)
+    idx = np.arange(n)
+    for t in range(-radius, radius + 1):
+        src = _reflect_index(idx + t, n)
+        np.add.at(a, (idx, src), k[t + radius])
+    return a
+
+
+def gaussian_blur2d(
+    x: jax.Array, sigma: float, *, truncate: float = 4.0
+) -> jax.Array:
+    """Blur [..., H, W] with an isotropic Gaussian (scipy-equivalent)."""
+    h, w = x.shape[-2:]
+    bh = jnp.asarray(_blur_matrix_np(h, float(sigma), truncate))
+    bw = jnp.asarray(_blur_matrix_np(w, float(sigma), truncate))
+    y = jnp.einsum("oh,...hw->...ow", bh, x.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    y = jnp.einsum("pw,...ow->...op", bw, y,
+                   preferred_element_type=jnp.float32)
+    return y
+
+
+def blur_and_minmax(x: jax.Array, sigma: float) -> jax.Array:
+    """Reference ``blurring`` (driver :1149-1153): blur then min-max to 0-1.
+
+    x: [..., H, W]; normalisation is per leading-index map.
+    """
+    y = gaussian_blur2d(x, sigma)
+    flat = y.reshape(*y.shape[:-2], -1)
+    mn = flat.min(axis=-1)[..., None, None]
+    mx = flat.max(axis=-1)[..., None, None]
+    denom = jnp.where(mx - mn > 0, mx - mn, 1.0)
+    return (y - mn) / denom

@@ -1,0 +1,144 @@
+"""Mean-field DenseCRF (Krähenbühl & Koltun), TPU-native.
+
+Reference semantics (driver ``densecrf``, :1030-1074, backed by pydensecrf's
+C++ permutohedral lattice):
+
+- unary: U = -log(clip(softmax(mask_logits), 1e-5, 1))  (unary_from_softmax)
+- pairwise 1 (appearance-blind): Gaussian kernel, sxy=POS_XY_STD=3,
+  Potts weight POS_W=7
+- pairwise 2 (bilateral): kernel over (position/Bi_XY_STD=50,
+  rgb/Bi_RGB_STD=5), Potts weight Bi_W=10
+- 10 mean-field iterations; kernels are symmetrically normalised
+  (k' = n_i * k_ij * n_j with n = 1/sqrt(K @ 1)); the Potts update is
+      Q <- softmax(-U + sum_m w_m * K'_m(Q))
+- argmax over labels.
+
+TPU realisation:
+- the spatial Gaussian term is separable: two band-matrix matmuls (MXU),
+- the bilateral term uses the fused Gaussian-kernel matmul Pallas kernel
+  (ops/bilateral_pallas.py) — exact brute force, no lattice approximation,
+- everything is batched over images at a fixed bucket resolution and jits
+  into one graph with `lax.fori_loop` over iterations.
+
+`exclude_self` removes each pixel's self-interaction (k_ii = 1) from the
+messages; the permutohedral implementation keeps it, so the default False
+matches pydensecrf most closely.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pnp_ovss_tpu.config import CRFConfig
+from pnp_ovss_tpu.ops.bilateral_pallas import (
+    gaussian_kernel_matmul,
+    gaussian_kernel_matmul_reference,
+)
+
+
+@functools.lru_cache(maxsize=64)
+def _band_matrix_np(n: int, sigma: float) -> np.ndarray:
+    """[n, n] dense Gaussian kernel matrix exp(-(i-j)^2 / (2 sigma^2))."""
+    idx = np.arange(n, dtype=np.float64)
+    d = idx[:, None] - idx[None, :]
+    return np.exp(-0.5 * (d / sigma) ** 2).astype(np.float32)
+
+
+def spatial_gaussian_apply(q: jax.Array, sigma: float) -> jax.Array:
+    """K @ q for the separable 2D spatial Gaussian. q: [..., H, W]."""
+    h, w = q.shape[-2:]
+    kh = jnp.asarray(_band_matrix_np(h, float(sigma)))
+    kw = jnp.asarray(_band_matrix_np(w, float(sigma)))
+    y = jnp.einsum("ij,...jw->...iw", kh, q.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("ij,...hj->...hi", kw, y,
+                      preferred_element_type=jnp.float32)
+
+
+def bilateral_features(
+    image_rgb: jax.Array, sxy: float, srgb: float
+) -> jax.Array:
+    """[H, W, 3] (0-255 RGB) -> [H*W, 5] scaled features."""
+    h, w, _ = image_rgb.shape
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] / sxy
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] / sxy
+    pos_y = jnp.broadcast_to(ys, (h, w))
+    pos_x = jnp.broadcast_to(xs, (h, w))
+    rgb = image_rgb.astype(jnp.float32) / srgb
+    feats = jnp.concatenate(
+        [pos_x[..., None], pos_y[..., None], rgb], axis=-1
+    )
+    return feats.reshape(h * w, 5)
+
+
+def _normalised_apply(apply_fn, q_flat: jax.Array, norm: jax.Array,
+                      exclude_self: bool) -> jax.Array:
+    """Symmetric normalisation: n * K(n * q), optionally minus self term."""
+    m = norm * apply_fn(norm * q_flat)
+    if exclude_self:
+        m = m - (norm * norm) * q_flat
+    return m
+
+
+def mean_field_crf(
+    logits: jax.Array,  # [C, H, W] mask maps (pre-softmax, reference :1057)
+    image_rgb: jax.Array,  # [H, W, 3] 0-255
+    cfg: CRFConfig,
+    *,
+    exclude_self: bool = False,
+    bilateral_impl: str = "pallas",  # "pallas" | "reference"
+    unary_clip: float = 1e-5,
+) -> jax.Array:
+    """Run mean-field inference; returns label map [H, W] int32."""
+    c, h, w = logits.shape
+    n = h * w
+
+    q0 = jax.nn.softmax(logits.astype(jnp.float32), axis=0)
+    u = -jnp.log(jnp.clip(q0, unary_clip, 1.0))  # [C, H, W]
+    u_flat = u.reshape(c, n).T  # [N, C]
+
+    feats_bi = bilateral_features(image_rgb, cfg.bi_xy_std, cfg.bi_rgb_std)
+    kernel_matmul = (
+        gaussian_kernel_matmul
+        if bilateral_impl == "pallas"
+        else gaussian_kernel_matmul_reference
+    )
+
+    # Degrees / symmetric normalisers (constant across iterations).
+    ones = jnp.ones((n, 1), jnp.float32)
+    deg_bi = kernel_matmul(feats_bi, ones)
+    if exclude_self:
+        deg_bi = deg_bi - 1.0
+    norm_bi = jax.lax.rsqrt(jnp.maximum(deg_bi, 1e-20))
+
+    deg_sp = spatial_gaussian_apply(jnp.ones((h, w), jnp.float32),
+                                    cfg.pos_xy_std)
+    if exclude_self:
+        deg_sp = deg_sp - 1.0
+    norm_sp = jax.lax.rsqrt(jnp.maximum(deg_sp, 1e-20))  # [H, W]
+
+    def spatial_apply_flat(q_flat):  # [N, C] -> [N, C]
+        q_img = q_flat.T.reshape(c, h, w)
+        out = spatial_gaussian_apply(q_img, cfg.pos_xy_std)
+        return out.reshape(c, n).T
+
+    norm_sp_flat = norm_sp.reshape(n, 1)
+
+    def body(_, q_flat):
+        m_bi = _normalised_apply(
+            lambda x: kernel_matmul(feats_bi, x), q_flat, norm_bi,
+            exclude_self,
+        )
+        m_sp = _normalised_apply(
+            spatial_apply_flat, q_flat, norm_sp_flat, exclude_self
+        )
+        energy = -u_flat + cfg.bi_w * m_bi + cfg.pos_w * m_sp
+        return jax.nn.softmax(energy, axis=-1)
+
+    q = jax.lax.fori_loop(0, cfg.num_iters, body, q0.reshape(c, n).T)
+    return jnp.argmax(q, axis=-1).astype(jnp.int32).reshape(h, w)

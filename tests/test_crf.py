@@ -1,0 +1,123 @@
+"""DenseCRF tests vs an independent numpy brute-force oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pnp_ovss_tpu.config import CRFConfig
+from pnp_ovss_tpu.ops.bilateral_pallas import (
+    gaussian_kernel_matmul_reference,
+)
+from pnp_ovss_tpu.ops.crf import (
+    bilateral_features,
+    mean_field_crf,
+    spatial_gaussian_apply,
+)
+
+
+def _numpy_mean_field(logits, image, cfg: CRFConfig, exclude_self=False):
+    """Independent dense O(N^2) oracle, written against the published
+    mean-field update (Q <- softmax(-U + sum_m w_m K'_m Q), symmetric
+    normalisation)."""
+    c, h, w = logits.shape
+    n = h * w
+    e = np.exp(logits - logits.max(0, keepdims=True))
+    q = (e / e.sum(0, keepdims=True)).reshape(c, n).T
+    u = -np.log(np.clip(q, 1e-5, 1.0))
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    f_sp = np.stack([xx.ravel() / cfg.pos_xy_std, yy.ravel() / cfg.pos_xy_std], 1)
+    f_bi = np.concatenate(
+        [
+            np.stack([xx.ravel() / cfg.bi_xy_std, yy.ravel() / cfg.bi_xy_std], 1),
+            image.reshape(n, 3) / cfg.bi_rgb_std,
+        ],
+        1,
+    )
+
+    def kmat(f):
+        d2 = ((f[:, None, :] - f[None, :, :]) ** 2).sum(-1)
+        k = np.exp(-0.5 * d2)
+        if exclude_self:
+            np.fill_diagonal(k, 0.0)
+        nrm = 1.0 / np.sqrt(np.maximum(k.sum(1), 1e-20))
+        return k * nrm[:, None] * nrm[None, :]
+
+    k_sp = kmat(f_sp)
+    k_bi = kmat(f_bi)
+    for _ in range(cfg.num_iters):
+        energy = -u + cfg.pos_w * (k_sp @ q) + cfg.bi_w * (k_bi @ q)
+        e = np.exp(energy - energy.max(1, keepdims=True))
+        q = e / e.sum(1, keepdims=True)
+    return np.argmax(q, 1).reshape(h, w)
+
+
+def test_spatial_apply_matches_dense():
+    rng = np.random.RandomState(0)
+    q = rng.rand(11, 13).astype(np.float32)
+    got = np.asarray(spatial_gaussian_apply(jnp.asarray(q), 2.0))
+    yy, xx = np.mgrid[0:11, 0:13].astype(np.float64)
+    f = np.stack([xx.ravel() / 2.0, yy.ravel() / 2.0], 1)
+    d2 = ((f[:, None] - f[None, :]) ** 2).sum(-1)
+    want = (np.exp(-0.5 * d2) @ q.ravel()).reshape(11, 13)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_bilateral_reference_matches_numpy():
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 255, (6, 7, 3)).astype(np.float32)
+    feats = bilateral_features(jnp.asarray(img), 5.0, 10.0)
+    vals = jnp.asarray(rng.rand(42, 3), jnp.float32)
+    got = np.asarray(gaussian_kernel_matmul_reference(feats, vals))
+    f = np.asarray(feats, np.float64)
+    d2 = ((f[:, None] - f[None, :]) ** 2).sum(-1)
+    want = np.exp(-0.5 * d2) @ np.asarray(vals, np.float64)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("exclude_self", [False, True])
+def test_mean_field_matches_numpy_oracle(exclude_self):
+    rng = np.random.RandomState(2)
+    c, h, w = 3, 10, 12
+    # Structured input: two colour regions + noisy logits.
+    image = np.zeros((h, w, 3), np.float32)
+    image[:, : w // 2] = [200, 30, 30]
+    image[:, w // 2 :] = [30, 30, 200]
+    image += rng.randn(h, w, 3) * 5
+    logits = rng.randn(c, h, w).astype(np.float32) * 0.5
+    logits[0, :, : w // 2] += 1.0
+    logits[1, :, w // 2 :] += 1.0
+
+    cfg = CRFConfig(num_iters=5, pos_w=3.0, pos_xy_std=2.0,
+                    bi_w=4.0, bi_xy_std=6.0, bi_rgb_std=20.0)
+    want = _numpy_mean_field(logits, image, cfg, exclude_self)
+    got = np.asarray(
+        jax.jit(
+            lambda l, im: mean_field_crf(
+                l, im, cfg, exclude_self=exclude_self,
+                bilateral_impl="reference",
+            )
+        )(jnp.asarray(logits), jnp.asarray(image))
+    )
+    assert (got == want).mean() > 0.99
+
+
+def test_crf_smooths_salt_noise():
+    """CRF must clean isolated wrong labels inside a uniform colour region."""
+    rng = np.random.RandomState(3)
+    h, w = 16, 16
+    image = np.full((h, w, 3), 128, np.float32)
+    logits = np.zeros((2, h, w), np.float32)
+    logits[0] = 2.0
+    # salt: a few pixels prefer class 1
+    for _ in range(8):
+        y, x = rng.randint(0, h), rng.randint(0, w)
+        logits[:, y, x] = [0.0, 2.5]
+    cfg = CRFConfig(num_iters=5, pos_w=3.0, pos_xy_std=3.0,
+                    bi_w=5.0, bi_xy_std=8.0, bi_rgb_std=10.0)
+    out = np.asarray(
+        mean_field_crf(jnp.asarray(logits), jnp.asarray(image), cfg,
+                       bilateral_impl="reference")
+    )
+    assert (out == 0).all()

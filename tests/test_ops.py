@@ -1,0 +1,100 @@
+"""Numeric-op tests vs scipy/torch oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pnp_ovss_tpu.ops.blur import blur_and_minmax, gaussian_blur2d
+from pnp_ovss_tpu.ops.resize import resize_bilinear_align_corners
+from pnp_ovss_tpu.ops.segment_pool import pool_token_maps
+from pnp_ovss_tpu.ops import attention as attn_ops
+
+
+def test_gaussian_blur_matches_scipy():
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(17, 23).astype(np.float32)
+    for sigma in (0.8, 2.5, 5.0):
+        want = gaussian_filter(x, sigma)
+        got = np.asarray(gaussian_blur2d(jnp.asarray(x), sigma))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_blur_and_minmax_range():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(3, 17, 19), jnp.float32)
+    y = np.asarray(blur_and_minmax(x, 1.5))
+    assert y.min() >= 0 and y.max() <= 1 + 1e-6
+    for c in range(3):
+        assert y[c].min() == pytest.approx(0.0, abs=1e-6)
+        assert y[c].max() == pytest.approx(1.0, abs=1e-6)
+
+
+def test_resize_matches_torch_align_corners():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(2)
+    x = rng.rand(2, 3, 7, 9).astype(np.float32)
+    want = F.interpolate(
+        torch.tensor(x), size=(20, 31), mode="bilinear", align_corners=True
+    ).numpy()
+    got = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), 20, 31))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_resize_downscale_matches_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(3)
+    x = rng.rand(1, 2, 21, 21).astype(np.float32)
+    want = F.interpolate(
+        torch.tensor(x), size=(9, 13), mode="bilinear", align_corners=True
+    ).numpy()
+    got = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), 9, 13))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pool_token_maps_wordpiece_mean():
+    """Pooling matrix reproduces the reference's '##' averaging loop."""
+    b, t1, g = 1, 10, 3
+    rng = np.random.RandomState(4)
+    gc = rng.rand(b, t1, g, g).astype(np.float32)
+    # Two classes: rows 3 (single piece) and rows 4-6 (three pieces).
+    pool = np.zeros((b, 2, t1), np.float32)
+    pool[0, 0, 3] = 1.0
+    pool[0, 1, 4:7] = 1.0 / 3
+    out = np.asarray(pool_token_maps(jnp.asarray(pool), jnp.asarray(gc)))
+    np.testing.assert_allclose(out[0, 0], gc[0, 3], rtol=1e-6)
+    np.testing.assert_allclose(
+        out[0, 1], gc[0, 4:7].mean(axis=0), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_mha_xla_matches_naive():
+    rng = np.random.RandomState(5)
+    q = jnp.asarray(rng.randn(2, 3, 8, 4), jnp.float32)
+    k = jnp.asarray(rng.randn(2, 3, 8, 4), jnp.float32)
+    v = jnp.asarray(rng.randn(2, 3, 8, 4), jnp.float32)
+    got = np.asarray(attn_ops.mha_xla(q, k, v))
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) / 2.0
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    want = np.einsum("bhqk,bhkd->bhqd", p, v)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_matches_xla():
+    from pnp_ovss_tpu.ops.flash_attention import flash_mha, supported
+
+    rng = np.random.RandomState(6)
+    q = jnp.asarray(rng.randn(2, 2, 300, 64), jnp.float32)
+    k = jnp.asarray(rng.randn(2, 2, 300, 64), jnp.float32)
+    v = jnp.asarray(rng.randn(2, 2, 300, 64), jnp.float32)
+    assert supported(q)
+    want = np.asarray(attn_ops.mha_xla(q, k, v))
+    got = np.asarray(flash_mha(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
