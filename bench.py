@@ -1,0 +1,100 @@
+"""Headline benchmark: full-pipeline throughput on one TPU chip.
+
+Measures images/sec through the complete segmentation pipeline at the
+reference configuration (Run_seg.sh): BLIP-ITM-Large, 336px, batch 35,
+4 salience-drop rounds, (layer 8, head 9) GradCAM, blur + 10-iter DenseCRF.
+Weights are random (throughput is weight-independent).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N/BASELINE}
+
+BASELINE: the reference repo publishes no throughput numbers (BASELINE.md);
+the denominator is a documented estimate of the reference envelope on its
+48 GB-GPU setup: ~8 full BLIP fwd(+bwd) passes per batch of 35 at 336px
+plus per-image CPU DenseCRF — estimated 1.2 img/s/GPU. Replace with a
+measured number when GPU hardware is available.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_IMGS_PER_SEC_ESTIMATE = 1.2
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_ovss_tpu.config import PipelineConfig
+    from pnp_ovss_tpu.models.blip_itm import init_params
+    from pnp_ovss_tpu.pipeline.runner import SegmentationRunner
+    from pnp_ovss_tpu.text.captions import build_caption_batch
+    from pnp_ovss_tpu.text.wordpiece import WordPieceTokenizer
+
+    cfg = PipelineConfig.reference_default()
+    on_tpu = jax.default_backend() not in ("cpu",)
+    batch = cfg.batch_size if on_tpu else 2
+
+    params = init_params(
+        jax.random.PRNGKey(0), cfg.model,
+        capture_layers=(cfg.attribution.layer - 1,),
+        attn_impl="pallas" if on_tpu else "xla",
+    )
+    runner = SegmentationRunner(
+        cfg,
+        params,
+        attn_impl="pallas" if on_tpu else "xla",
+        bucket_size=224 if on_tpu else 32,
+        bilateral_impl="pallas" if on_tpu else "reference",
+    )
+
+    # Synthetic batch at the reference shapes; a toy vocab stands in for
+    # bert-base-uncased (ids are equivalent work).
+    nms = ["dog", "cat", "grass", "sky", "person", "car", "tree", "wall"]
+    tok = WordPieceTokenizer.toy(["a", "picture", "of"] + nms)
+    rng = np.random.RandomState(0)
+    class_lists = [
+        [nms[i % 8], nms[(i + 3) % 8], nms[(i + 5) % 8]] for i in range(batch)
+    ]
+    cap = build_caption_batch(
+        class_lists, tok, max_text_len=cfg.model.max_text_len,
+        max_classes=cfg.max_classes,
+    )
+    images = rng.rand(batch, cfg.img_size, cfg.img_size, 3).astype(np.float32)
+    images = (images - 0.45) / 0.27
+    rgb = rng.randint(0, 255, (batch, runner.bucket, runner.bucket, 3)).astype(
+        np.float32
+    )
+
+    # Warmup (compile).
+    res = runner.run_batch(images, cap, rgb)
+    res.labels_agg.sum()
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = runner.run_batch(images, cap, rgb)
+    res.labels_agg.sum()  # sync
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "images_per_sec_336px_drop4_blurcrf_1chip",
+                "value": round(imgs_per_sec, 3),
+                "unit": "img/s",
+                "vs_baseline": round(
+                    imgs_per_sec / REFERENCE_IMGS_PER_SEC_ESTIMATE, 2
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

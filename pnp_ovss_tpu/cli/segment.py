@@ -1,0 +1,257 @@
+"""Main segmentation driver — the reference's public CLI, one binary.
+
+Replaces BOTH reference drivers (PnP_OVSS_0514_updated_segmentation.py and
+the ~85%-duplicated _coco variant) with one driver parameterised by dataset
+adapter. Flag names match the reference's argparse surface (drivers
+:57-106) where the concept survives; TPU-native additions are documented
+inline.
+
+Per-image outputs keep the reference's layout so Calculate_mIoU-style
+offline aggregation and image-granular resume both work:
+  {save_path}/hist_withfiltered_caption/img_{id}_max_blocknum_{L}_atthead_{H}.npy
+  {save_path}/all_drop_hist_with_filtered_caption/img_{id}_....npy
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+from typing import List
+
+import numpy as np
+
+
+def get_args_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        "pnp-ovss-tpu segmentation", description=__doc__
+    )
+    # Reference flag surface (drivers :57-106).
+    p.add_argument("--img_size", type=int, default=336)
+    p.add_argument("--batch_size", type=int, default=35)
+    p.add_argument("--max_att_block_num", type=int, default=8)
+    p.add_argument("--prune_att_head", type=int, default=9)
+    p.add_argument("--drop_iter", type=int, default=4)
+    p.add_argument("--del_patch_num", default="sort_thresh005",
+                   help="kept for flag parity; 10 patches/round")
+    p.add_argument("--sort_threshold", type=float, default=0.05)
+    p.add_argument("--threshold", type=float, default=0.15)
+    p.add_argument("--postprocess", default="blur+crf",
+                   choices=["", "blur", "crf", "blur+crf"])
+    p.add_argument("--data_type", required=True,
+                   choices=["voc", "psc", "ade20k", "coco_object",
+                            "coco_stuff"])
+    p.add_argument("--save_path", required=True)
+    p.add_argument("--home_dir", required=True)
+    p.add_argument("--world_size", type=int, default=1,
+                   help="data-parallel hosts (jax.distributed)")
+    p.add_argument("--rank", type=int, default=0)
+    p.add_argument("--max_txt_len", type=int, default=128,
+                   help="static caption bucket (reference pads to 500)")
+    # TPU-native knobs.
+    p.add_argument("--checkpoint", default=None,
+                   help="LAVIS/BLIP torch checkpoint (.pth) to convert")
+    p.add_argument("--vocab", default=None,
+                   help="bert-base-uncased vocab.txt path")
+    p.add_argument("--bucket_size", type=int, default=224,
+                   help="device postprocess resolution")
+    p.add_argument("--max_classes", type=int, default=28)
+    p.add_argument("--attn_impl", default="pallas",
+                   choices=["pallas", "xla"])
+    p.add_argument("--limit", type=int, default=None,
+                   help="process only the first N images (debug)")
+    p.add_argument("--no_resume", action="store_true",
+                   help="recompute even if per-image hist files exist")
+    return p
+
+
+def build_config(args) -> "PipelineConfig":
+    from pnp_ovss_tpu.config import (
+        AttributionConfig, DropConfig, ModelConfig, PipelineConfig,
+        PostprocessConfig, ViTConfig,
+    )
+
+    model = ModelConfig(
+        vit=ViTConfig(image_size=args.img_size),
+        max_text_len=args.max_txt_len,
+    )
+    return PipelineConfig(
+        model=model,
+        attribution=AttributionConfig(
+            layer=args.max_att_block_num, head=args.prune_att_head
+        ),
+        drop=DropConfig(num_rounds=args.drop_iter),
+        postprocess=PostprocessConfig(mode=args.postprocess),
+        data_type=args.data_type,
+        batch_size=args.batch_size,
+        threshold=args.threshold,
+        max_classes=args.max_classes,
+    )
+
+
+def main(argv=None):
+    args = get_args_parser().parse_args(argv)
+
+    import jax
+
+    from pnp_ovss_tpu.config import NUM_CLASSES
+    from pnp_ovss_tpu.data import transforms
+    from pnp_ovss_tpu.data.categories import get_dataset_meta
+    from pnp_ovss_tpu.data.datasets import make_dataset, shard_records
+    from pnp_ovss_tpu.evalx.metrics import fast_hist, scores_from_hist
+    from pnp_ovss_tpu.models.blip_itm import init_params
+    from pnp_ovss_tpu.pipeline.runner import SegmentationRunner
+    from pnp_ovss_tpu.text.captions import build_caption_batch
+    from pnp_ovss_tpu.text.labels import GPTLabelProvider
+    from pnp_ovss_tpu.text.wordpiece import WordPieceTokenizer
+    from pnp_ovss_tpu.utils.logging import MetricLogger, log
+
+    cfg = build_config(args)
+    meta = get_dataset_meta(args.data_type)
+
+    # --- tokenizer & labels -------------------------------------------
+    if args.vocab:
+        tok = WordPieceTokenizer.from_vocab_file(args.vocab)
+    else:
+        log("WARNING: no --vocab given; using a toy vocab (random-weight "
+            "smoke runs only)")
+        tok = WordPieceTokenizer.toy(["a", "picture", "of"] + meta.nms)
+
+    gpt_file = {
+        "voc": "voc_classification_noboundary.json",
+        "psc": "psc_classification_noboundary.json",
+        "ade20k": "ade20k_classification_noboundary.json",
+        "coco_object": "coco_object_classification_noboundary.json",
+        "coco_stuff": "coco_stuff_classification_noboundary.json",
+    }[args.data_type]
+    labels = GPTLabelProvider(
+        os.path.join(args.home_dir, "GPT4o_classification", gpt_file),
+        meta.nms, prob_cutoff=cfg.gpt_prob_cutoff,
+    )
+
+    # --- model --------------------------------------------------------
+    layer0 = cfg.attribution.layer - 1
+    if args.checkpoint:
+        from pnp_ovss_tpu.models.convert import load_torch_checkpoint
+
+        params = load_torch_checkpoint(args.checkpoint, cfg.model)
+    else:
+        log("WARNING: no --checkpoint given; RANDOM weights "
+            "(throughput/smoke runs only)")
+        params = init_params(
+            jax.random.PRNGKey(0), cfg.model, capture_layers=(layer0,),
+            attn_impl=args.attn_impl,
+        )
+
+    runner = SegmentationRunner(
+        cfg, params, attn_impl=args.attn_impl,
+        bucket_size=args.bucket_size,
+        bilateral_impl="pallas" if jax.default_backend() != "cpu"
+        else "reference",
+    )
+
+    # --- data ---------------------------------------------------------
+    ds = make_dataset(args.data_type, args.home_dir)
+    records = list(ds.records())
+    if args.limit:
+        records = records[: args.limit]
+    records = shard_records(records, args.rank, args.world_size)
+    log(f"{len(records)} images on rank {args.rank}/{args.world_size}")
+
+    hist_dir_r0 = os.path.join(args.save_path, "hist_withfiltered_caption")
+    hist_dir_agg = os.path.join(
+        args.save_path, "all_drop_hist_with_filtered_caption"
+    )
+    os.makedirs(hist_dir_r0, exist_ok=True)
+    os.makedirs(hist_dir_agg, exist_ok=True)
+
+    def hist_path(d, img_id):
+        return os.path.join(
+            d,
+            f"img_{img_id}_max_blocknum_{cfg.attribution.layer}"
+            f"_atthead_{cfg.attribution.head}.npy",
+        )
+
+    if not args.no_resume:
+        before = len(records)
+        records = [
+            r for r in records
+            if not (os.path.exists(hist_path(hist_dir_r0, r.img_id))
+                    and os.path.exists(hist_path(hist_dir_agg, r.img_id)))
+        ]
+        if len(records) != before:
+            log(f"resume: skipping {before - len(records)} done images")
+
+    n_class = NUM_CLASSES[args.data_type]
+    total_r0 = np.zeros((n_class, n_class))
+    total_agg = np.zeros((n_class, n_class))
+
+    logger = MetricLogger()
+    bs = cfg.batch_size
+    batches = [records[i : i + bs] for i in range(0, len(records), bs)]
+    for batch in logger.log_every(batches, 10, header="segment"):
+        t0 = time.perf_counter()
+        # Host: load + preprocess.
+        class_idx_lists, class_name_lists = [], []
+        imgs, rgbs, gts = [], [], []
+        for rec in batch:
+            idxs, names = labels.lookup(rec.gpt_key)
+            class_idx_lists.append(idxs)
+            class_name_lists.append(names)
+            raw = transforms.load_rgb(rec.image_path)
+            imgs.append(transforms.preprocess_image(raw, cfg.img_size))
+            rgbs.append(
+                transforms.resize_rgb(raw, (runner.bucket, runner.bucket))
+            )
+            gts.append(rec.load_gt())
+        cap = build_caption_batch(
+            class_name_lists, tok, max_text_len=cfg.model.max_text_len,
+            max_classes=cfg.max_classes,
+        )
+        # Pad the trailing batch to the static batch size.
+        pad = bs - len(batch)
+        images_np = np.stack(imgs + [imgs[-1]] * pad)
+        rgbs_np = np.stack(rgbs + [rgbs[-1]] * pad).astype(np.float32)
+        if pad:
+            cap = build_caption_batch(
+                class_name_lists + [class_name_lists[-1]] * pad, tok,
+                max_text_len=cfg.model.max_text_len,
+                max_classes=cfg.max_classes,
+            )
+        t_host = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        res = runner.run_batch(images_np, cap, rgbs_np)
+        t_dev = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        for i, rec in enumerate(batch):
+            cat_ids = meta.category_ids[class_idx_lists[i]]
+            gt = gts[i]
+            for labels_b, hist_dir, total in (
+                (res.labels_r0, hist_dir_r0, total_r0),
+                (res.labels_agg, hist_dir_agg, total_agg),
+            ):
+                pred = runner.finalize_image(
+                    labels_b[i], cat_ids, gt.shape[:2]
+                )
+                h = fast_hist(gt.flatten(), pred.flatten(), n_class)
+                np.save(hist_path(hist_dir, rec.img_id), h)
+                total += h
+        t_fin = time.perf_counter() - t0
+        logger.update(host_s=t_host, device_s=t_dev, finalize_s=t_fin,
+                      imgs_per_s=len(batch) / max(t_dev, 1e-9))
+
+    for name, total in (("1-drop", total_r0), ("N-drop agg", total_agg)):
+        if total.sum() == 0:
+            continue
+        table = scores_from_hist(total, meta.metric_class_names())
+        log(f"== {name} ({args.data_type}, rank {args.rank}) ==")
+        for k, v in table.items():
+            if k != "Class IoU":
+                log(f"  {k}: {v:.4f}")
+
+
+if __name__ == "__main__":
+    main()

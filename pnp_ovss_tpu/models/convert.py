@@ -1,0 +1,142 @@
+"""Torch (LAVIS BLIP) checkpoint -> Flax parameter converter.
+
+Loads the BLIP-ITM state dict (e.g. model_large_retrieval_flickr.pth,
+blip_itm_large.yaml:10) and maps it onto models/blip_itm.BlipITM's
+parameter tree, including:
+
+- conv patch-embed weight layout OIHW -> HWIO,
+- Linear weight transposition (torch [out, in] -> flax [in, out]),
+- position-embedding bicubic interpolation when the image size differs
+  from the checkpoint's (reference base_model.py:86-127, vit.py:435-465),
+- BERT text-encoder prefix flattening (LAVIS stores `text_encoder.bert.*`
+  in some checkpoints, `text_encoder.*` in others),
+- token_type embeddings are dropped: the ITM path never passes
+  token_type_ids so the reference never adds them (med.py:108-115,
+  BertModel.forward default None).
+
+The checkpoint is fetched by the user (zero-egress environments cannot
+download); any LAVIS/BLIP ITM .pth with matching architecture works.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+
+from pnp_ovss_tpu.config import ModelConfig
+
+
+def _t(x) -> np.ndarray:
+    return np.asarray(x, np.float32)
+
+
+def convert_state_dict(sd: Dict[str, "object"], cfg: ModelConfig) -> Dict:
+    """torch state_dict (tensors or numpy) -> flax params dict."""
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()
+          if not k.startswith("text_encoder_m")  # momentum copies
+          and not k.startswith("visual_encoder_m")
+          and "queue" not in k}
+
+    # Normalise the BERT prefix: text_encoder.bert.X -> text_encoder.X
+    sd = {
+        re.sub(r"^text_encoder\.bert\.", "text_encoder.", k): v
+        for k, v in sd.items()
+    }
+
+    p: Dict = {"visual_encoder": {}, "text_encoder": {}}
+
+    # ---- ViT ----------------------------------------------------------
+    vit = p["visual_encoder"]
+    vit["patch_embed"] = {
+        "kernel": sd["visual_encoder.patch_embed.proj.weight"]
+        .transpose(2, 3, 1, 0),  # OIHW -> HWIO
+        "bias": sd["visual_encoder.patch_embed.proj.bias"],
+    }
+    vit["cls_token"] = sd["visual_encoder.cls_token"]
+    pos = sd["visual_encoder.pos_embed"]
+    target = cfg.vit.num_patches
+    if pos.shape[1] - 1 != target:
+        import jax.numpy as jnp
+
+        from pnp_ovss_tpu.models.vit import interpolate_pos_embed
+
+        pos = np.asarray(interpolate_pos_embed(jnp.asarray(pos), target))
+    vit["pos_embed"] = pos
+
+    def dense(prefix):
+        return {
+            "kernel": sd[prefix + ".weight"].T,
+            "bias": sd[prefix + ".bias"],
+        }
+
+    def norm(prefix):
+        return {
+            "scale": sd[prefix + ".weight"],
+            "bias": sd[prefix + ".bias"],
+        }
+
+    for i in range(cfg.vit.num_layers):
+        b = f"visual_encoder.blocks.{i}"
+        vit[f"block_{i}"] = {
+            "norm1": norm(b + ".norm1"),
+            "attn": {
+                "qkv": dense(b + ".attn.qkv"),
+                "proj": dense(b + ".attn.proj"),
+            },
+            "norm2": norm(b + ".norm2"),
+            "mlp_fc1": dense(b + ".mlp.fc1"),
+            "mlp_fc2": dense(b + ".mlp.fc2"),
+        }
+    vit["norm"] = norm("visual_encoder.norm")
+
+    # ---- BERT fusion encoder -------------------------------------------
+    te = p["text_encoder"]
+    te["word_embeddings"] = {
+        "embedding": sd["text_encoder.embeddings.word_embeddings.weight"]
+    }
+    te["position_embeddings"] = sd[
+        "text_encoder.embeddings.position_embeddings.weight"
+    ]
+    te["embed_norm"] = norm("text_encoder.embeddings.LayerNorm")
+
+    for i in range(cfg.bert.num_layers):
+        b = f"text_encoder.encoder.layer.{i}"
+        te[f"layer_{i}"] = {
+            "attention": {
+                "query": dense(b + ".attention.self.query"),
+                "key": dense(b + ".attention.self.key"),
+                "value": dense(b + ".attention.self.value"),
+                "output_dense": dense(b + ".attention.output.dense"),
+                "output_norm": norm(b + ".attention.output.LayerNorm"),
+            },
+            "crossattention": {
+                "query": dense(b + ".crossattention.self.query"),
+                "key": dense(b + ".crossattention.self.key"),
+                "value": dense(b + ".crossattention.self.value"),
+                "output_dense": dense(b + ".crossattention.output.dense"),
+                "output_norm": norm(b + ".crossattention.output.LayerNorm"),
+            },
+            "intermediate": dense(b + ".intermediate.dense"),
+            "output_dense": dense(b + ".output.dense"),
+            "output_norm": norm(b + ".output.LayerNorm"),
+        }
+
+    # ---- heads ---------------------------------------------------------
+    p["itm_head"] = dense("itm_head")
+    if "vision_proj.weight" in sd:
+        p["vision_proj"] = dense("vision_proj")
+        p["text_proj"] = dense("text_proj")
+
+    return {"params": p}
+
+
+def load_torch_checkpoint(path: str, cfg: ModelConfig) -> Dict:
+    """Load a .pth LAVIS/BLIP checkpoint and convert (CPU torch)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    return convert_state_dict(sd, cfg)

@@ -56,6 +56,7 @@ def salience_drop_loop(
     """
     b = images.shape[0]
     num_patches = grid * grid
+    k_drop = min(cfg.patches_per_round, num_patches)
 
     def round_body(carry, _):
         dropped, agg, gc0, round_idx = carry
@@ -74,7 +75,7 @@ def salience_drop_loop(
         # rows are already zero (text mask applied inside gradcam).
         salience = gc[:, 3:-1].sum(axis=1).reshape(b, num_patches)
         salience = jnp.where(dropped > 0, -jnp.inf, salience)
-        _, top_idx = jax.lax.top_k(salience, cfg.patches_per_round)
+        _, top_idx = jax.lax.top_k(salience, k_drop)
         new_drops = jax.nn.one_hot(top_idx, num_patches, dtype=dropped.dtype)
         dropped = jnp.clip(dropped + new_drops.sum(axis=1), 0.0, 1.0)
         return (dropped, agg, gc0, round_idx + 1), None

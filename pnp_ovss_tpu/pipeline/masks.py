@@ -72,22 +72,26 @@ def argmax_labels(maps_wbg: jax.Array) -> jax.Array:
 
 def remap_channels_to_categories(
     labels: np.ndarray,
-    class_idx: np.ndarray,
+    category_ids: np.ndarray,
     *,
     include_background: bool,
     max_channels: int,
 ) -> np.ndarray:
     """Map channel indices to dataset category ids via a lookup table.
 
-    include_background: channel 0 stays 0, channel i+1 -> class_idx[i] + 1
-    (reference :390-394). Otherwise channel i -> class_idx[i] + 1 (:396-399).
+    ``category_ids[k]`` is the dataset id of proposed class k — idx+1 for
+    voc/psc/ade20k (reference :390-399), the sparse COCO id for coco_*
+    (coco driver :459-463,549-556).
+
+    include_background: channel 0 stays 0, channel i+1 -> category_ids[i].
+    Otherwise channel i -> category_ids[i].
     """
     table = np.zeros((max_channels + 1,), np.int32)
-    k = len(class_idx)
+    k = len(category_ids)
     if include_background:
-        table[1 : k + 1] = np.asarray(class_idx[:k], np.int32) + 1
+        table[1 : k + 1] = np.asarray(category_ids[:k], np.int32)
     else:
-        table[:k] = np.asarray(class_idx[:k], np.int32) + 1
+        table[:k] = np.asarray(category_ids[:k], np.int32)
     return table[labels]
 
 

@@ -1,0 +1,226 @@
+"""End-to-end segmentation runner: one jitted attribution graph + one jitted
+postprocess graph, batched and mesh-sharded.
+
+Replaces the reference's per-batch orchestration (save_img_union_attention,
+driver :290-521) with two device programs:
+
+ATTRIBUTION (per batch, SPMD over the mesh):
+  salience-drop scan (pipeline/drop.py) -> token->class pooling
+  (ops/segment_pool.py) -> threshold (pipeline/masks.py) -> bilinear
+  upsample to a fixed bucket resolution. Produces the 1-drop map (round 0,
+  rescaled 0-1 — reference :362) and the aggregated N-drop map (no rescale —
+  reference :441) for every image.
+
+POSTPROCESS (per batch):
+  background channel -> Gaussian blur + per-channel min-max -> mean-field
+  DenseCRF (ops/crf.py) -> argmax labels at bucket resolution.
+  Per-image background enablement and class-validity are data, not shape:
+  disabled channels are driven to -1e30 after the blur so softmax/argmax
+  ignore them, keeping one static graph for object and context datasets.
+
+Host finishes per image: nearest-resize labels to ground-truth resolution,
+channel->category remap, confusion histogram. In parity mode the resize +
+postprocess run at exact GT resolution instead (slower, shape-bucketed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pnp_ovss_tpu.attribution.gradcam import gradcam_from_tap
+from pnp_ovss_tpu.config import PipelineConfig
+from pnp_ovss_tpu.evalx import metrics as metrics_mod
+from pnp_ovss_tpu.models.blip_itm import BlipITM
+from pnp_ovss_tpu.ops import crf as crf_mod
+from pnp_ovss_tpu.ops.blur import blur_and_minmax
+from pnp_ovss_tpu.ops.segment_pool import pool_token_maps
+from pnp_ovss_tpu.parallel import mesh as mesh_mod
+from pnp_ovss_tpu.pipeline import masks as masks_mod
+from pnp_ovss_tpu.pipeline.drop import salience_drop_loop
+
+_DISABLED = -1e30
+
+
+@dataclasses.dataclass
+class BatchResult:
+    """Per-batch outputs mirroring the reference's two evaluation variants."""
+
+    labels_r0: np.ndarray  # [B, Hb, Wb] int32 channel indices (1-drop)
+    labels_agg: np.ndarray  # [B, Hb, Wb] int32 channel indices (N-drop agg)
+    num_classes: np.ndarray  # [B]
+
+
+class SegmentationRunner:
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        params,
+        *,
+        mesh=None,
+        attn_impl: str = "pallas",
+        bucket_size: int = 224,
+        bilateral_impl: str = "pallas",
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.mesh = mesh
+        self.bucket = bucket_size
+        self.bilateral_impl = bilateral_impl
+
+        layer0 = cfg.attribution.layer - 1  # 1-indexed flag -> 0-indexed
+        self.model = BlipITM(
+            cfg.model, capture_layers=(layer0,), attn_impl=attn_impl
+        )
+        self._attribution = jax.jit(self._attribution_fn)
+        self._post = jax.jit(self._post_fn)
+
+    # ------------------------------------------------------------------
+    # Device graphs
+    # ------------------------------------------------------------------
+    def _gradcam_fn(self, images, ids, mask):
+        cfg = self.cfg
+
+        def apply_fn(p, im, i, m, cross_tap):
+            return self.model.apply(p, im, i, m, cross_tap=cross_tap)
+
+        gc, logits = gradcam_from_tap(
+            apply_fn,
+            self.params,
+            images,
+            ids,
+            mask,
+            num_capture_layers=1,
+            num_heads=cfg.model.bert.num_heads,
+            num_image_tokens=cfg.model.vit.seq_len,
+            grid=cfg.model.vit.grid,
+        )
+        return gc[0, :, cfg.attribution.head], logits
+
+    def _attribution_fn(self, images, ids, mask, pool_matrix):
+        """[B,S,S,3],[B,T],[B,T],[B,K,T-1] -> maps_r0/maps_agg [B,K,Hb,Wb]."""
+        cfg = self.cfg
+        gc0, agg = salience_drop_loop(
+            self._gradcam_fn,
+            images,
+            ids,
+            mask,
+            cfg=cfg.drop,
+            grid=cfg.model.vit.grid,
+            patch_size=cfg.model.vit.patch_size,
+        )
+        out = []
+        for gc, rescale in ((gc0, True), (agg, False)):
+            pooled = pool_token_maps(pool_matrix, gc)
+            masked = masks_mod.threshold_maps(pooled, cfg.threshold)
+            up = masks_mod.upsample_maps(
+                masked, self.bucket, self.bucket, rescale=rescale
+            )
+            out.append(up)
+        return tuple(out)
+
+    def _post_fn(self, maps, bg_enable, class_valid, images_rgb):
+        """maps [B,K,Hb,Wb]; bg_enable [B] bool; class_valid [B,K] bool;
+        images_rgb [B,Hb,Wb,3] 0-255 -> labels [B,Hb,Wb] int32."""
+        cfg = self.cfg
+        b, k, hb, wb = maps.shape
+        maps = jnp.where(class_valid[:, :, None, None], maps, 0.0)
+        wbg = masks_mod.add_background(maps)  # [B, K+1, Hb, Wb]
+
+        mode = cfg.postprocess.mode
+        if "blur" in mode:
+            sigma = cfg.postprocess.blur_scale * max(hb, wb)
+            wbg = blur_and_minmax(wbg, sigma)
+
+        # Disable the background channel where the context rule says so and
+        # padded class slots everywhere (reference builds exactly-K channel
+        # stacks instead; :372-379).
+        chan_valid = jnp.concatenate(
+            [bg_enable[:, None], class_valid], axis=1
+        )  # [B, K+1]
+        wbg = jnp.where(chan_valid[:, :, None, None], wbg, _DISABLED)
+
+        if "crf" in mode:
+            crf_cfg = cfg.postprocess.crf
+
+            def one(args):
+                logits, img = args
+                return crf_mod.mean_field_crf(
+                    logits, img, crf_cfg,
+                    bilateral_impl=self.bilateral_impl,
+                )
+
+            labels = jax.lax.map(one, (wbg, images_rgb))
+        else:
+            labels = masks_mod.argmax_labels(wbg)
+        return labels
+
+    # ------------------------------------------------------------------
+    # Host orchestration
+    # ------------------------------------------------------------------
+    def run_batch(
+        self,
+        images: np.ndarray,  # [B, S, S, 3] normalised
+        caption_batch,  # text.captions.CaptionBatch
+        images_rgb_bucket: np.ndarray,  # [B, Hb, Wb, 3] 0-255
+    ) -> BatchResult:
+        cfg = self.cfg
+        n = caption_batch.num_classes
+        bg_enable = np.asarray(
+            [
+                masks_mod.context_includes_background(
+                    cfg.data_type, int(c),
+                    max_for_background=cfg.context_background_max_classes,
+                )
+                for c in n
+            ]
+        )
+        args = (
+            jnp.asarray(images),
+            jnp.asarray(caption_batch.input_ids),
+            jnp.asarray(caption_batch.attention_mask),
+            jnp.asarray(caption_batch.pool_matrix),
+        )
+        if self.mesh is not None:
+            args = mesh_mod.shard_batch(self.mesh, args)
+        maps_r0, maps_agg = self._attribution(*args)
+
+        post_args_common = (
+            jnp.asarray(bg_enable),
+            jnp.asarray(caption_batch.class_valid),
+            jnp.asarray(images_rgb_bucket, jnp.float32),
+        )
+        labels_r0 = self._post(maps_r0, *post_args_common)
+        labels_agg = self._post(maps_agg, *post_args_common)
+        return BatchResult(
+            labels_r0=np.asarray(labels_r0),
+            labels_agg=np.asarray(labels_agg),
+            num_classes=np.asarray(n),
+        )
+
+    def finalize_image(
+        self,
+        labels_bucket: np.ndarray,  # [Hb, Wb] channel indices
+        category_ids: Sequence[int],  # dataset ids of the proposed classes
+        gt_shape: Tuple[int, int],
+    ) -> np.ndarray:
+        """Nearest-resize to GT resolution and remap to category ids."""
+        from PIL import Image
+
+        h, w = gt_shape
+        up = np.asarray(
+            Image.fromarray(labels_bucket.astype(np.int32), mode="I").resize(
+                (w, h), Image.NEAREST
+            )
+        )
+        return masks_mod.remap_channels_to_categories(
+            up,
+            np.asarray(category_ids, np.int32),
+            include_background=True,  # channel layout always has slot 0
+            max_channels=self.cfg.max_classes,
+        )

@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The axon TPU plugin wins over the JAX_PLATFORMS env var; the config
+# update is the reliable way to pin tests to the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 # Full-precision matmuls for numeric oracle comparisons (the default
 # precision truncates f32 matmul inputs even on CPU).
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -121,3 +121,16 @@ def test_crf_smooths_salt_noise():
                        bilateral_impl="reference")
     )
     assert (out == 0).all()
+
+
+def test_bilateral_pallas_matches_reference_interpret():
+    """The Pallas kernel (interpret mode on CPU) == the dense jnp reference."""
+    from pnp_ovss_tpu.ops.bilateral_pallas import gaussian_kernel_matmul
+
+    rng = np.random.RandomState(4)
+    n, c = 700, 5  # forces padding in both N (to 1024) and C (to 128)
+    feats = jnp.asarray(rng.rand(n, 5) * 3, jnp.float32)
+    vals = jnp.asarray(rng.rand(n, c), jnp.float32)
+    want = np.asarray(gaussian_kernel_matmul_reference(feats, vals))
+    got = np.asarray(gaussian_kernel_matmul(feats, vals))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

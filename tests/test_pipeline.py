@@ -1,0 +1,121 @@
+"""End-to-end pipeline runner tests (tiny config, CPU) incl. mesh parity."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pnp_ovss_tpu.config import (
+    CRFConfig, DropConfig, PipelineConfig, PostprocessConfig,
+)
+from pnp_ovss_tpu.models.blip_itm import init_params
+from pnp_ovss_tpu.parallel import mesh as mesh_mod
+from pnp_ovss_tpu.pipeline.runner import SegmentationRunner
+from pnp_ovss_tpu.text.captions import build_caption_batch
+from pnp_ovss_tpu.text.wordpiece import WordPieceTokenizer
+
+NMS = ["dog", "cat", "grass", "sky"]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = PipelineConfig.tiny()
+    cfg = dataclasses.replace(
+        cfg,
+        attribution=dataclasses.replace(cfg.attribution, layer=1, head=1),
+        postprocess=PostprocessConfig(
+            mode="blur+crf", crf=CRFConfig(num_iters=2)
+        ),
+        batch_size=8,
+    )
+    params = init_params(
+        jax.random.PRNGKey(0), cfg.model, capture_layers=(0,)
+    )
+    tok = WordPieceTokenizer.toy(["a", "picture", "of"] + NMS)
+    return cfg, params, tok
+
+
+def _batch(cfg, tok, b=8):
+    rng = np.random.RandomState(0)
+    images = rng.rand(b, cfg.img_size, cfg.img_size, 3).astype(np.float32)
+    class_lists = [[NMS[i % 3], NMS[(i + 1) % 4]] for i in range(b)]
+    cap = build_caption_batch(
+        class_lists, tok, max_text_len=cfg.model.max_text_len,
+        max_classes=cfg.max_classes,
+    )
+    rgb = rng.randint(0, 255, (b, 32, 32, 3)).astype(np.float32)
+    return images, cap, rgb
+
+
+def test_runner_end_to_end(setup):
+    cfg, params, tok = setup
+    runner = SegmentationRunner(
+        cfg, params, attn_impl="xla", bucket_size=32,
+        bilateral_impl="reference",
+    )
+    images, cap, rgb = _batch(cfg, tok)
+    res = runner.run_batch(images, cap, rgb)
+    assert res.labels_r0.shape == (8, 32, 32)
+    assert res.labels_agg.shape == (8, 32, 32)
+    # Channel indices stay inside [0, K].
+    assert res.labels_r0.min() >= 0
+    assert res.labels_r0.max() <= cfg.max_classes
+    # Finalisation to GT resolution + category remap.
+    # Proposed classes dog (id 1) and grass (id 3).
+    out = runner.finalize_image(res.labels_agg[0], [1, 3], (40, 52))
+    assert out.shape == (40, 52)
+    assert set(np.unique(out)) <= {0, 1, 3}
+
+
+def test_runner_mesh_parity(setup):
+    """Sharded 8-device run must equal the single-device run exactly."""
+    cfg, params, tok = setup
+    images, cap, rgb = _batch(cfg, tok)
+
+    r_single = SegmentationRunner(
+        cfg, params, attn_impl="xla", bucket_size=32,
+        bilateral_impl="reference",
+    )
+    res_single = r_single.run_batch(images, cap, rgb)
+
+    mesh = mesh_mod.make_mesh()
+    assert mesh.devices.size == 8
+    r_mesh = SegmentationRunner(
+        cfg, params, mesh=mesh, attn_impl="xla", bucket_size=32,
+        bilateral_impl="reference",
+    )
+    res_mesh = r_mesh.run_batch(images, cap, rgb)
+
+    # Continuous attribution maps must agree tightly (different matmul
+    # partitionings change accumulation order only).
+    args = (
+        jnp.asarray(images),
+        jnp.asarray(cap.input_ids),
+        jnp.asarray(cap.attention_mask),
+        jnp.asarray(cap.pool_matrix),
+    )
+    maps_s = r_single._attribution(*args)
+    maps_m = r_mesh._attribution(*mesh_mod.shard_batch(mesh, args))
+    for a, b in zip(maps_s, maps_m):
+        scale = float(jnp.abs(a).max()) + 1e-12
+        diff = float(jnp.abs(a - b).max()) / scale
+        assert diff < 1e-3, diff
+
+    # Discrete labels may flip at float ties near the threshold/argmax.
+    mism_r0 = (res_single.labels_r0 != res_mesh.labels_r0).mean()
+    mism_agg = (res_single.labels_agg != res_mesh.labels_agg).mean()
+    assert mism_r0 < 0.03, mism_r0
+    assert mism_agg < 0.03, mism_agg
+
+
+def test_background_rule_context_vs_object(setup):
+    cfg, params, tok = setup
+    from pnp_ovss_tpu.pipeline.masks import context_includes_background
+
+    assert context_includes_background("voc", 10)
+    assert context_includes_background("coco_object", 10)
+    assert context_includes_background("psc", 2)
+    assert not context_includes_background("psc", 3)
+    assert not context_includes_background("ade20k", 5)
