@@ -146,7 +146,8 @@ def main(argv=None):
     if args.checkpoint:
         from pnp_ovss_tpu.models.convert import load_torch_checkpoint
 
-        params = load_torch_checkpoint(args.checkpoint, cfg)
+        params = load_torch_checkpoint(args.checkpoint, cfg,
+                                       capture_layers=capture)
     else:
         log("WARNING: random weights (machinery smoke run)")
         params = init_params(jax.random.PRNGKey(0), cfg,

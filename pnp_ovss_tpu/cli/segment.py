@@ -135,7 +135,8 @@ def main(argv=None):
     if args.checkpoint:
         from pnp_ovss_tpu.models.convert import load_torch_checkpoint
 
-        params = load_torch_checkpoint(args.checkpoint, cfg.model)
+        params = load_torch_checkpoint(args.checkpoint, cfg.model,
+                                       capture_layers=(layer0,))
     else:
         log("WARNING: no --checkpoint given; RANDOM weights "
             "(throughput/smoke runs only)")

@@ -125,6 +125,18 @@ class BertLayer(nn.Module):
         return x, captured
 
 
+class _ScannedBertLayer(nn.Module):
+    """lax.scan wrapper for uncaptured layer runs (carry-threaded)."""
+
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x, bias, image_embeds = carry
+        x, _ = BertLayer(self.cfg, name="layer")(x, bias, image_embeds, None)
+        return (x, bias, image_embeds), None
+
+
 class BertFusionEncoder(nn.Module):
     """Multimodal text encoder. Returns (last_hidden, captured_probs).
 
@@ -132,6 +144,13 @@ class BertFusionEncoder(nn.Module):
     cross-attention probabilities are captured; ``cross_tap`` (if given) has
     shape [len(capture_layers), B, H, T, S_img] and is added to those
     probabilities. ``captured_probs`` stacks the same shape.
+
+    Layer execution strategy (compile-time optimisation): with at most one
+    captured layer the uncaptured runs before/after it execute under
+    ``nn.scan`` with stacked parameters ("layers_pre"/"layers_post" groups),
+    so the compiled HLO holds the layer body ~3 times instead of 12. With
+    multiple captured layers (the search subsystem's 12x12 ensemble) the
+    loop is unrolled with per-layer parameters ("layer_{i}").
     """
 
     cfg: BertConfig
@@ -164,18 +183,47 @@ class BertFusionEncoder(nn.Module):
         bias = (1.0 - attention_mask[:, None, None, :].astype(jnp.float32))
         bias = bias * -10000.0
 
+        def make_tap(idx):
+            tap_i = None if cross_tap is None else cross_tap[idx]
+            if tap_i is None:
+                b = input_ids.shape[0]
+                s = image_embeds.shape[1]
+                tap_i = jnp.zeros((b, c.num_heads, t, s), jnp.float32)
+            return tap_i
+
+        def scan_group(x, name, length):
+            if length == 0:
+                return x
+            group = nn.scan(
+                _ScannedBertLayer,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=length,
+            )(c, name=name)
+            (x, _, _), _ = group((x, bias, image_embeds), None)
+            return x
+
+        # The parameter structure depends only on the static capture config,
+        # so the text-only (ITC) mode reuses the multimodal tree.
+        if len(self.capture_layers) <= 1:
+            if self.capture_layers:
+                l = self.capture_layers[0]
+                x = scan_group(x, "layers_pre", l)
+                tap_l = make_tap(0) if image_embeds is not None else None
+                x, cap = BertLayer(c, name=f"layer_{l}")(
+                    x, bias, image_embeds, tap_l
+                )
+                x = scan_group(x, "layers_post", c.num_layers - l - 1)
+                return x, None if cap is None else cap[None]
+            x = scan_group(x, "layers_pre", c.num_layers)
+            return x, None
+
+        # Unrolled path: multi-layer (ensemble) capture.
         captured = []
         for i in range(c.num_layers):
             tap_i = None
             if image_embeds is not None and i in self.capture_layers:
-                idx = self.capture_layers.index(i)
-                tap_i = None if cross_tap is None else cross_tap[idx]
-                if tap_i is None:
-                    # Capture without a tap: make a zero tap so the layer
-                    # still returns its probabilities.
-                    b = input_ids.shape[0]
-                    s = image_embeds.shape[1]
-                    tap_i = jnp.zeros((b, c.num_heads, t, s), jnp.float32)
+                tap_i = make_tap(self.capture_layers.index(i))
             x, cap = BertLayer(c, name=f"layer_{i}")(
                 x, bias, image_embeds, tap_i
             )

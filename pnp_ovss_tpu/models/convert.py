@@ -32,8 +32,26 @@ def _t(x) -> np.ndarray:
     return np.asarray(x, np.float32)
 
 
-def convert_state_dict(sd: Dict[str, "object"], cfg: ModelConfig) -> Dict:
-    """torch state_dict (tensors or numpy) -> flax params dict."""
+def _stack_trees(trees):
+    """List of identically-shaped param dicts -> one dict stacked on axis 0
+    (the layout nn.scan's variable_axes={'params': 0} expects)."""
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *trees)
+
+
+def convert_state_dict(
+    sd: Dict[str, "object"],
+    cfg: ModelConfig,
+    capture_layers: tuple = (7,),
+) -> Dict:
+    """torch state_dict (tensors or numpy) -> flax params dict.
+
+    ``capture_layers`` must match the BlipITM the params will be applied
+    with: with <=1 captured layer the BERT layers are grouped into scanned
+    stacks (layers_pre / layer_{l} / layers_post); with more they stay
+    per-layer (layer_{i}). The ViT blocks are always one scanned stack.
+    """
     sd = {k: np.asarray(v, np.float32) for k, v in sd.items()
           if not k.startswith("text_encoder_m")  # momentum copies
           and not k.startswith("visual_encoder_m")
@@ -77,9 +95,9 @@ def convert_state_dict(sd: Dict[str, "object"], cfg: ModelConfig) -> Dict:
             "bias": sd[prefix + ".bias"],
         }
 
-    for i in range(cfg.vit.num_layers):
+    def vit_block(i):
         b = f"visual_encoder.blocks.{i}"
-        vit[f"block_{i}"] = {
+        return {
             "norm1": norm(b + ".norm1"),
             "attn": {
                 "qkv": dense(b + ".attn.qkv"),
@@ -89,6 +107,10 @@ def convert_state_dict(sd: Dict[str, "object"], cfg: ModelConfig) -> Dict:
             "mlp_fc1": dense(b + ".mlp.fc1"),
             "mlp_fc2": dense(b + ".mlp.fc2"),
         }
+
+    vit["blocks"] = {
+        "block": _stack_trees([vit_block(i) for i in range(cfg.vit.num_layers)])
+    }
     vit["norm"] = norm("visual_encoder.norm")
 
     # ---- BERT fusion encoder -------------------------------------------
@@ -101,9 +123,9 @@ def convert_state_dict(sd: Dict[str, "object"], cfg: ModelConfig) -> Dict:
     ]
     te["embed_norm"] = norm("text_encoder.embeddings.LayerNorm")
 
-    for i in range(cfg.bert.num_layers):
+    def bert_layer(i):
         b = f"text_encoder.encoder.layer.{i}"
-        te[f"layer_{i}"] = {
+        return {
             "attention": {
                 "query": dense(b + ".attention.self.query"),
                 "key": dense(b + ".attention.self.key"),
@@ -123,6 +145,31 @@ def convert_state_dict(sd: Dict[str, "object"], cfg: ModelConfig) -> Dict:
             "output_norm": norm(b + ".output.LayerNorm"),
         }
 
+    n_layers = cfg.bert.num_layers
+    if len(capture_layers) <= 1:
+        if capture_layers:
+            l = capture_layers[0]
+            if l > 0:
+                te["layers_pre"] = {
+                    "layer": _stack_trees([bert_layer(i) for i in range(l)])
+                }
+            te[f"layer_{l}"] = bert_layer(l)
+            if l < n_layers - 1:
+                te["layers_post"] = {
+                    "layer": _stack_trees(
+                        [bert_layer(i) for i in range(l + 1, n_layers)]
+                    )
+                }
+        else:
+            te["layers_pre"] = {
+                "layer": _stack_trees(
+                    [bert_layer(i) for i in range(n_layers)]
+                )
+            }
+    else:
+        for i in range(n_layers):
+            te[f"layer_{i}"] = bert_layer(i)
+
     # ---- heads ---------------------------------------------------------
     p["itm_head"] = dense("itm_head")
     if "vision_proj.weight" in sd:
@@ -132,11 +179,13 @@ def convert_state_dict(sd: Dict[str, "object"], cfg: ModelConfig) -> Dict:
     return {"params": p}
 
 
-def load_torch_checkpoint(path: str, cfg: ModelConfig) -> Dict:
+def load_torch_checkpoint(
+    path: str, cfg: ModelConfig, capture_layers: tuple = (7,)
+) -> Dict:
     """Load a .pth LAVIS/BLIP checkpoint and convert (CPU torch)."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model", ckpt)
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
-    return convert_state_dict(sd, cfg)
+    return convert_state_dict(sd, cfg, capture_layers)

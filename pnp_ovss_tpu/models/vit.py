@@ -68,8 +68,25 @@ class ViTBlock(nn.Module):
         return x + h
 
 
+class _ScannedBlock(nn.Module):
+    """lax.scan-compatible wrapper: (carry, None) -> (carry, None)."""
+
+    cfg: ViTConfig
+    impl: str
+
+    @nn.compact
+    def __call__(self, x, _):
+        return ViTBlock(self.cfg, impl=self.impl, name="block")(x), None
+
+
 class VisionTransformer(nn.Module):
-    """Returns patch-token embeddings [B, 1 + P*P, hidden] (CLS first)."""
+    """Returns patch-token embeddings [B, 1 + P*P, hidden] (CLS first).
+
+    The 24 blocks run under one ``nn.scan`` with stacked parameters
+    (leading [num_layers] axis) so the compiled HLO contains the block
+    body once — compile time on TPU is ~num_layers times smaller than the
+    reference's unrolled module list (vit.py:236-255).
+    """
 
     cfg: ViTConfig
     impl: str = "pallas"
@@ -105,8 +122,13 @@ class VisionTransformer(nn.Module):
         )
         x = x + pos_embed.astype(dtype)
 
-        for i in range(c.num_layers):
-            x = ViTBlock(c, impl=self.impl, name=f"block_{i}")(x)
+        blocks = nn.scan(
+            _ScannedBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=c.num_layers,
+        )(c, self.impl, name="blocks")
+        x, _ = blocks(x, None)
 
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
                          name="norm")(x)

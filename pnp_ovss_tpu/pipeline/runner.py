@@ -54,6 +54,9 @@ class BatchResult:
     labels_r0: np.ndarray  # [B, Hb, Wb] int32 channel indices (1-drop)
     labels_agg: np.ndarray  # [B, Hb, Wb] int32 channel indices (N-drop agg)
     num_classes: np.ndarray  # [B]
+    bg_enable: Optional[np.ndarray] = None  # [B] bool
+    maps_r0: Optional[np.ndarray] = None  # [B, K, Hb, Wb] (parity mode)
+    maps_agg: Optional[np.ndarray] = None
 
 
 class SegmentationRunner:
@@ -168,6 +171,8 @@ class SegmentationRunner:
         images: np.ndarray,  # [B, S, S, 3] normalised
         caption_batch,  # text.captions.CaptionBatch
         images_rgb_bucket: np.ndarray,  # [B, Hb, Wb, 3] 0-255
+        *,
+        return_maps: bool = False,
     ) -> BatchResult:
         cfg = self.cfg
         n = caption_batch.num_classes
@@ -201,6 +206,57 @@ class SegmentationRunner:
             labels_r0=np.asarray(labels_r0),
             labels_agg=np.asarray(labels_agg),
             num_classes=np.asarray(n),
+            bg_enable=bg_enable,
+            maps_r0=np.asarray(maps_r0) if return_maps else None,
+            maps_agg=np.asarray(maps_agg) if return_maps else None,
+        )
+
+    def finalize_image_parity(
+        self,
+        maps_bucket: np.ndarray,  # [K, Hb, Wb] pre-postprocess class maps
+        bg_enable: bool,
+        class_valid: np.ndarray,  # [K]
+        category_ids: Sequence[int],
+        image_rgb_full: np.ndarray,  # [H, W, 3] original image
+        gt_shape: Tuple[int, int],
+    ) -> np.ndarray:
+        """Parity path: blur + native permutohedral CRF at exact GT
+        resolution (the reference's per-image CPU postprocess,
+        :1002-1074), then remap. Slower; use for mIoU parity runs."""
+        from pnp_ovss_tpu.ops import crf_host
+        from pnp_ovss_tpu.ops.blur import blur_and_minmax
+        from pnp_ovss_tpu.ops.resize import resize_bilinear_align_corners
+
+        import jax.numpy as jnp
+
+        h, w = gt_shape
+        k = int(np.sum(class_valid))
+        maps = np.asarray(
+            resize_bilinear_align_corners(jnp.asarray(maps_bucket[:k]), h, w)
+        )
+        stack = [((maps.max(axis=0) == 0).astype(np.float32))] if bg_enable else []
+        wbg = np.concatenate([np.stack(stack + list(maps))], axis=0) if stack \
+            else maps
+        mode = self.cfg.postprocess.mode
+        if "blur" in mode:
+            sigma = self.cfg.postprocess.blur_scale * max(h, w)
+            wbg = np.asarray(blur_and_minmax(jnp.asarray(wbg), sigma))
+        if "crf" in mode:
+            img = np.asarray(image_rgb_full, np.float32)
+            if img.shape[:2] != (h, w):
+                from pnp_ovss_tpu.data.transforms import resize_rgb
+
+                img = resize_rgb(img, (h, w)).astype(np.float32)
+            labels = crf_host.densecrf_labels(
+                wbg, img, self.cfg.postprocess.crf
+            )
+        else:
+            labels = np.argmax(wbg, axis=0).astype(np.int32)
+        return masks_mod.remap_channels_to_categories(
+            labels,
+            np.asarray(category_ids, np.int32),
+            include_background=bool(bg_enable),
+            max_channels=self.cfg.max_classes,
         )
 
     def finalize_image(

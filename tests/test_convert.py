@@ -77,7 +77,7 @@ def test_converted_tree_matches_init_structure():
     cfg = ModelConfig.tiny()
     rng = np.random.RandomState(0)
     sd = _tiny_torch_state_dict(cfg, rng)
-    converted = convert_state_dict(sd, cfg)
+    converted = convert_state_dict(sd, cfg, capture_layers=(0,))
     want = init_params(jax.random.PRNGKey(0), cfg, capture_layers=(0,))
     ws, cs = _tree_shapes(want), _tree_shapes(converted)
     flat_w = dict(jax.tree_util.tree_flatten_with_path(ws)[0])
@@ -95,7 +95,7 @@ def test_converted_params_run_and_patch_embed_matches_torch():
     cfg = ModelConfig.tiny()
     rng = np.random.RandomState(1)
     sd = _tiny_torch_state_dict(cfg, rng)
-    params = convert_state_dict(sd, cfg)
+    params = convert_state_dict(sd, cfg, capture_layers=(0,))
 
     model = BlipITM(cfg, capture_layers=(0,), attn_impl="xla")
     images = jnp.asarray(rng.randn(1, 48, 48, 3), jnp.float32)
@@ -131,7 +131,7 @@ def test_interpolates_pos_embed_on_size_mismatch():
     sd = _tiny_torch_state_dict(cfg, rng)
     # Pretend the checkpoint was trained at 64px -> 16 patches.
     sd["visual_encoder.pos_embed"] = rng.randn(1, 17, 32).astype(np.float32)
-    converted = convert_state_dict(sd, cfg)
+    converted = convert_state_dict(sd, cfg, capture_layers=(0,))
     assert converted["params"]["visual_encoder"]["pos_embed"].shape == (
         1, 10, 32,
     )
