@@ -63,7 +63,71 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="process only the first N images (debug)")
     p.add_argument("--no_resume", action="store_true",
                    help="recompute even if per-image hist files exist")
+    # Demo mode (reference coco driver --in_the_wild :351-384): segment
+    # arbitrary images in a directory with a user-given class list; no GT,
+    # no metrics — rendered maps are written under {save_path}/viz/.
+    p.add_argument("--in_the_wild", action="store_true")
+    p.add_argument("--wild_dir", default=None,
+                   help="directory of images for --in_the_wild")
+    p.add_argument("--wild_classes", default=None,
+                   help="comma-separated class names for --in_the_wild "
+                        "(reference hard-codes its demo lists :379-384)")
     return p
+
+
+def run_in_the_wild(args, cfg, runner, tok, meta):
+    """Segment a directory of arbitrary images with a fixed class list."""
+    import glob as globmod
+
+    from pnp_ovss_tpu.data import transforms
+    from pnp_ovss_tpu.text.captions import build_caption_batch
+    from pnp_ovss_tpu.utils import viz
+    from pnp_ovss_tpu.utils.logging import log
+
+    classes = (args.wild_classes.split(",") if args.wild_classes
+               else meta.nms[:2])
+    paths = sorted(
+        p for p in globmod.glob(os.path.join(args.wild_dir, "*"))
+        if p.lower().endswith((".jpg", ".jpeg", ".png"))
+    )
+    if args.limit:
+        paths = paths[: args.limit]
+    log(f"in-the-wild: {len(paths)} images, classes={classes}")
+
+    bs = cfg.batch_size
+    for start in range(0, len(paths), bs):
+        chunk = paths[start : start + bs]
+        raws = [transforms.load_rgb(p) for p in chunk]
+        imgs = [transforms.preprocess_image(r, cfg.img_size) for r in raws]
+        rgbs = [
+            transforms.resize_rgb(r, (runner.bucket, runner.bucket))
+            for r in raws
+        ]
+        pad = bs - len(chunk)
+        cap = build_caption_batch(
+            [classes] * (len(chunk) + pad), tok,
+            max_text_len=cfg.model.max_text_len,
+            max_classes=cfg.max_classes,
+        )
+        res = runner.run_batch(
+            np.stack(imgs + [imgs[-1]] * pad),
+            cap,
+            np.stack(rgbs + [rgbs[-1]] * pad).astype(np.float32),
+        )
+        for i, p in enumerate(chunk):
+            name = os.path.splitext(os.path.basename(p))[0]
+            pred = runner.finalize_image(
+                res.labels_agg[i],
+                np.arange(1, len(classes) + 1),
+                raws[i].shape[:2],
+            )
+            viz.save_image01(
+                os.path.join(args.save_path, "viz", f"wild_{name}.jpeg"),
+                viz.render_segmentation(
+                    pred, raws[i].astype(np.float32) / 255.0
+                ),
+            )
+    log(f"in-the-wild outputs under {args.save_path}/viz/")
 
 
 def build_config(args) -> "PipelineConfig":
@@ -151,6 +215,11 @@ def main(argv=None):
         bilateral_impl="pallas" if jax.default_backend() != "cpu"
         else "reference",
     )
+
+    if args.in_the_wild:
+        if not args.wild_dir:
+            raise SystemExit("--in_the_wild requires --wild_dir")
+        return run_in_the_wild(args, cfg, runner, tok, meta)
 
     # --- data ---------------------------------------------------------
     ds = make_dataset(args.data_type, args.home_dir)

@@ -207,13 +207,21 @@ class BertFusionEncoder(nn.Module):
         # so the text-only (ITC) mode reuses the multimodal tree.
         if len(self.capture_layers) <= 1:
             if self.capture_layers:
+                # Layers BEFORE the capture point carry no tap gradient and
+                # run as one nn.scan (small HLO). Layers AFTER it are on the
+                # GradCAM backward path and stay unrolled: differentiating
+                # through a scanned group made the TPU backend's compile
+                # pathologically slow.
                 l = self.capture_layers[0]
                 x = scan_group(x, "layers_pre", l)
                 tap_l = make_tap(0) if image_embeds is not None else None
                 x, cap = BertLayer(c, name=f"layer_{l}")(
                     x, bias, image_embeds, tap_l
                 )
-                x = scan_group(x, "layers_post", c.num_layers - l - 1)
+                for i in range(l + 1, c.num_layers):
+                    x, _ = BertLayer(c, name=f"layer_{i}")(
+                        x, bias, image_embeds, None
+                    )
                 return x, None if cap is None else cap[None]
             x = scan_group(x, "layers_pre", c.num_layers)
             return x, None

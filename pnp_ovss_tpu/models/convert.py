@@ -153,13 +153,10 @@ def convert_state_dict(
                 te["layers_pre"] = {
                     "layer": _stack_trees([bert_layer(i) for i in range(l)])
                 }
-            te[f"layer_{l}"] = bert_layer(l)
-            if l < n_layers - 1:
-                te["layers_post"] = {
-                    "layer": _stack_trees(
-                        [bert_layer(i) for i in range(l + 1, n_layers)]
-                    )
-                }
+            # Capture layer and everything after it: unrolled (on the
+            # GradCAM backward path; see models/bert.py).
+            for i in range(l, n_layers):
+                te[f"layer_{i}"] = bert_layer(i)
         else:
             te["layers_pre"] = {
                 "layer": _stack_trees(

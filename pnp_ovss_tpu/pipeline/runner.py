@@ -41,8 +41,8 @@ from pnp_ovss_tpu.ops import crf as crf_mod
 from pnp_ovss_tpu.ops.blur import blur_and_minmax
 from pnp_ovss_tpu.ops.segment_pool import pool_token_maps
 from pnp_ovss_tpu.parallel import mesh as mesh_mod
+from pnp_ovss_tpu.pipeline import drop as drop_mod
 from pnp_ovss_tpu.pipeline import masks as masks_mod
-from pnp_ovss_tpu.pipeline.drop import salience_drop_loop
 
 _DISABLED = -1e30
 
@@ -80,7 +80,16 @@ class SegmentationRunner:
         self.model = BlipITM(
             cfg.model, capture_layers=(layer0,), attn_impl=attn_impl
         )
-        self._attribution = jax.jit(self._attribution_fn)
+        # The drop loop runs as a host loop over a single jitted round step
+        # (pipeline/drop.py): compiling the whole scan-of-vjp in one program
+        # took tens of minutes on the TPU backend.
+        self._round_step = drop_mod.make_round_step(
+            self._gradcam_fn,
+            cfg=cfg.drop,
+            grid=cfg.model.vit.grid,
+            patch_size=cfg.model.vit.patch_size,
+        )
+        self._finish_maps = jax.jit(self._finish_maps_fn)
         self._post = jax.jit(self._post_fn)
 
     # ------------------------------------------------------------------
@@ -105,18 +114,9 @@ class SegmentationRunner:
         )
         return gc[0, :, cfg.attribution.head], logits
 
-    def _attribution_fn(self, images, ids, mask, pool_matrix):
-        """[B,S,S,3],[B,T],[B,T],[B,K,T-1] -> maps_r0/maps_agg [B,K,Hb,Wb]."""
+    def _finish_maps_fn(self, gc0, agg, pool_matrix):
+        """Pool + threshold + bucket-upsample both gradcam variants."""
         cfg = self.cfg
-        gc0, agg = salience_drop_loop(
-            self._gradcam_fn,
-            images,
-            ids,
-            mask,
-            cfg=cfg.drop,
-            grid=cfg.model.vit.grid,
-            patch_size=cfg.model.vit.patch_size,
-        )
         out = []
         for gc, rescale in ((gc0, True), (agg, False)):
             pooled = pool_token_maps(pool_matrix, gc)
@@ -126,6 +126,15 @@ class SegmentationRunner:
             )
             out.append(up)
         return tuple(out)
+
+    def _attribution(self, images, ids, mask, pool_matrix):
+        """[B,S,S,3],[B,T],[B,T],[B,K,T-1] -> maps_r0/maps_agg [B,K,Hb,Wb]."""
+        cfg = self.cfg
+        gc0, agg = drop_mod.run_drop_rounds(
+            self._round_step, images, ids, mask,
+            cfg=cfg.drop, num_patches=cfg.model.vit.grid**2,
+        )
+        return self._finish_maps(gc0, agg, pool_matrix)
 
     def _post_fn(self, maps, bg_enable, class_valid, images_rgb):
         """maps [B,K,Hb,Wb]; bg_enable [B] bool; class_valid [B,K] bool;
