@@ -26,8 +26,16 @@ REFERENCE_IMGS_PER_SEC_ESTIMATE = 1.2
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # Remote TPU compiles are expensive (minutes per program); persist them.
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from pnp_ovss_tpu.config import PipelineConfig
     from pnp_ovss_tpu.models.blip_itm import init_params
