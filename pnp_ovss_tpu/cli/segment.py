@@ -257,38 +257,34 @@ def main(argv=None):
     total_r0 = np.zeros((n_class, n_class))
     total_agg = np.zeros((n_class, n_class))
 
+    from pnp_ovss_tpu.data.loader import PrefetchLoader
+
     logger = MetricLogger()
     bs = cfg.batch_size
-    batches = [records[i : i + bs] for i in range(0, len(records), bs)]
-    for batch in logger.log_every(batches, 10, header="segment"):
+    loader = PrefetchLoader(
+        records, batch_size=bs, img_size=cfg.img_size, bucket=runner.bucket,
+    )
+    for batch in logger.log_every(loader, 10, header="segment",
+                                  total=len(loader)):
         t0 = time.perf_counter()
-        # Host: load + preprocess.
         class_idx_lists, class_name_lists = [], []
-        imgs, rgbs, gts = [], [], []
-        for rec in batch:
+        for rec in batch.records:
             idxs, names = labels.lookup(rec.gpt_key)
             class_idx_lists.append(idxs)
             class_name_lists.append(names)
-            raw = transforms.load_rgb(rec.image_path)
-            imgs.append(transforms.preprocess_image(raw, cfg.img_size))
-            rgbs.append(
-                transforms.resize_rgb(raw, (runner.bucket, runner.bucket))
-            )
-            gts.append(rec.load_gt())
+        # Pad the trailing batch to the static batch size.
+        pad = bs - len(batch.records)
         cap = build_caption_batch(
-            class_name_lists, tok, max_text_len=cfg.model.max_text_len,
+            class_name_lists + [class_name_lists[-1]] * pad, tok,
+            max_text_len=cfg.model.max_text_len,
             max_classes=cfg.max_classes,
         )
-        # Pad the trailing batch to the static batch size.
-        pad = bs - len(batch)
-        images_np = np.stack(imgs + [imgs[-1]] * pad)
-        rgbs_np = np.stack(rgbs + [rgbs[-1]] * pad).astype(np.float32)
-        if pad:
-            cap = build_caption_batch(
-                class_name_lists + [class_name_lists[-1]] * pad, tok,
-                max_text_len=cfg.model.max_text_len,
-                max_classes=cfg.max_classes,
-            )
+        images_np = np.concatenate(
+            [batch.images] + [batch.images[-1:]] * pad
+        )
+        rgbs_np = np.concatenate(
+            [batch.rgb_bucket] + [batch.rgb_bucket[-1:]] * pad
+        )
         t_host = time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -296,9 +292,9 @@ def main(argv=None):
         t_dev = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        for i, rec in enumerate(batch):
+        for i, rec in enumerate(batch.records):
             cat_ids = meta.category_ids[class_idx_lists[i]]
-            gt = gts[i]
+            gt = batch.gts[i]
             for labels_b, hist_dir, total in (
                 (res.labels_r0, hist_dir_r0, total_r0),
                 (res.labels_agg, hist_dir_agg, total_agg),
@@ -311,7 +307,7 @@ def main(argv=None):
                 total += h
         t_fin = time.perf_counter() - t0
         logger.update(host_s=t_host, device_s=t_dev, finalize_s=t_fin,
-                      imgs_per_s=len(batch) / max(t_dev, 1e-9))
+                      imgs_per_s=len(batch.records) / max(t_dev, 1e-9))
 
     for name, total in (("1-drop", total_r0), ("N-drop agg", total_agg)):
         if total.sum() == 0:

@@ -119,3 +119,34 @@ def test_background_rule_context_vs_object(setup):
     assert context_includes_background("psc", 2)
     assert not context_includes_background("psc", 3)
     assert not context_includes_background("ade20k", 5)
+
+
+def test_prefetch_loader_on_fixture(tmp_path):
+    """PrefetchLoader yields complete, ordered, correctly-shaped batches."""
+    import os
+    from PIL import Image
+    from pnp_ovss_tpu.data.datasets import ImageRecord
+    from pnp_ovss_tpu.data.loader import PrefetchLoader
+
+    rng = np.random.RandomState(0)
+    recs = []
+    for i in range(5):
+        p = tmp_path / f"img{i}.png"
+        Image.fromarray(
+            (rng.rand(20, 30, 3) * 255).astype(np.uint8)
+        ).save(p)
+        recs.append(ImageRecord(
+            img_id=str(i), gpt_key=str(i), image_path=str(p),
+            load_gt=lambda i=i: np.full((20, 30), i, np.float32),
+        ))
+    loader = PrefetchLoader(
+        recs, batch_size=2, img_size=16, bucket=8, num_workers=2,
+    )
+    batches = list(loader)
+    assert len(loader) == 3 and len(batches) == 3
+    assert batches[0].images.shape == (2, 16, 16, 3)
+    assert batches[0].rgb_bucket.shape == (2, 8, 8, 3)
+    assert batches[-1].images.shape == (1, 16, 16, 3)  # trailing partial
+    ids = [r.img_id for b in batches for r in b.records]
+    assert ids == ["0", "1", "2", "3", "4"]
+    assert batches[1].gts[0][0, 0] == 2.0
