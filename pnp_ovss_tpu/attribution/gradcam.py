@@ -70,6 +70,49 @@ def gradcam_from_tap(
     return gc, logits
 
 
+def gradcam_from_embeds(
+    apply_embeds_fn,
+    params,
+    image_embeds: jax.Array,  # [B, S, width]
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    *,
+    num_capture_layers: int,
+    num_heads: int,
+    grid: int,
+):
+    """GradCAM with the image encoder factored out.
+
+    The ViT forward and the BERT forward+backward compile as separate XLA
+    programs — the remote TPU compiler handles the two smaller programs far
+    faster than the fused one, and the ViT program is shared with plain
+    ITM scoring. Numerically identical to gradcam_from_tap (the tap sits
+    after the ViT, so no gradient ever crosses the split).
+    """
+    b, t = input_ids.shape
+    s = image_embeds.shape[1]
+
+    def fwd(tap):
+        logits, probs = apply_embeds_fn(
+            params, image_embeds, input_ids, attention_mask, cross_tap=tap
+        )
+        loss = logits[:, 1].sum()
+        return loss, (probs, logits)
+
+    tap0 = jnp.zeros((num_capture_layers, b, num_heads, t, s), jnp.float32)
+    (_, (cams, logits)), grads = jax.value_and_grad(
+        fwd, has_aux=True
+    )(tap0)
+
+    mask = attention_mask.astype(jnp.float32)[None, :, None, :, None]
+    gc = cams[..., 1:] * jax.nn.relu(grads[..., 1:]) * mask
+    gc = jnp.maximum(gc, 0.0)
+    gc = gc[:, :, :, 1:, :].reshape(
+        num_capture_layers, b, num_heads, t - 1, grid, grid
+    )
+    return gc, logits
+
+
 def make_gradcam_fn(model, params, *, layer: int, head: Optional[int] = None):
     """Build a jittable single-(layer[,head]) GradCAM closure.
 

@@ -66,6 +66,10 @@ def get_args_parser() -> argparse.ArgumentParser:
     # Demo mode (reference coco driver --in_the_wild :351-384): segment
     # arbitrary images in a directory with a user-given class list; no GT,
     # no metrics — rendered maps are written under {save_path}/viz/.
+    p.add_argument("--record_classification", action="store_true",
+                   help="save per-image classification pred/true vectors "
+                        "(reference Record_classification_prediction, "
+                        "driver :958-986)")
     p.add_argument("--in_the_wild", action="store_true")
     p.add_argument("--wild_dir", default=None,
                    help="directory of images for --in_the_wild")
@@ -295,6 +299,23 @@ def main(argv=None):
         for i, rec in enumerate(batch.records):
             cat_ids = meta.category_ids[class_idx_lists[i]]
             gt = batch.gts[i]
+            if args.record_classification:
+                # Binary pred/true vectors over the label set
+                # (reference :958-986).
+                pred_vec = np.zeros(len(meta.nms), np.int64)
+                pred_vec[class_idx_lists[i]] = 1
+                gt_ids = [
+                    int(v) for v in np.unique(gt)
+                    if 0 < v <= len(meta.nms)
+                ]
+                true_vec = np.zeros(len(meta.nms), np.int64)
+                true_vec[[g - 1 for g in gt_ids]] = 1
+                for sub, vec in (("classification_pred", pred_vec),
+                                 ("classification_true", true_vec)):
+                    d = os.path.join(args.save_path, sub)
+                    os.makedirs(d, exist_ok=True)
+                    np.save(os.path.join(
+                        d, f"img_{rec.img_id}.npy"), vec)
             for labels_b, hist_dir, total in (
                 (res.labels_r0, hist_dir_r0, total_r0),
                 (res.labels_agg, hist_dir_agg, total_agg),

@@ -43,6 +43,20 @@ def fast_hist_jnp(
     return hist[:-1].reshape(n_class, n_class)
 
 
+def batch_hist_jnp(
+    label_true: jax.Array,  # [B, H, W] int32
+    label_pred: jax.Array,  # [B, H, W] int32
+    n_class: int,
+) -> jax.Array:
+    """Summed confusion matrix for a batch, in-graph.
+
+    Under jit with a batch-sharded mesh this reduces across devices via the
+    XLA collective the sum lowers to — replacing the reference's per-rank
+    .npy file scatter + offline aggregation (SURVEY §2.4).
+    """
+    return fast_hist_jnp(label_true, label_pred, n_class)
+
+
 def scores_from_hist(
     hist: np.ndarray, class_names: Sequence[str]
 ) -> Dict[str, object]:

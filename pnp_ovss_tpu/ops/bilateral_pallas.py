@@ -95,6 +95,10 @@ def gaussian_kernel_matmul(features: jax.Array, values: jax.Array):
             bytes_accessed=n_pad * (FEAT_PAD + c_pad + 2) * 4,
             transcendentals=n_pad * n_pad,
         ),
+        compiler_params=pltpu.CompilerParams(
+            # i tiles are independent; j is the reduction (output revisit).
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=jax.default_backend() == "cpu",
     )(feats, half_norms, feats, half_norms, vals)
     return out[:n, :c]

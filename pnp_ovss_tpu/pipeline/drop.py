@@ -149,3 +149,43 @@ def run_drop_rounds(round_step, images, input_ids, attention_mask,
     if cfg.double_count_round0:
         agg = agg + gc0
     return gc0, agg
+
+
+def make_split_round_step(embed_fn, bert_gradcam_fn, *, cfg: DropConfig,
+                          grid: int, patch_size: int):
+    """Two-program round step: (1) mask+ViT-encode, (2) BERT gradcam+top-k.
+
+    Splitting at the image-embedding boundary keeps each compiled program
+    small — the fused forward+vjp program made the remote TPU compiler take
+    30+ minutes, while the two halves compile independently (and the encode
+    program is shared with plain ITM scoring). No gradient crosses the
+    split (the GradCAM tap sits after the ViT).
+    """
+    num_patches = grid * grid
+    k_drop = min(cfg.patches_per_round, num_patches)
+
+    @jax.jit
+    def encode_step(dropped, images):
+        b = images.shape[0]
+        keep = 1.0 - dropped.reshape(b, grid, grid)
+        pixel_keep = expand_patch_mask_to_pixels(keep, patch_size)
+        return embed_fn(images * pixel_keep)
+
+    @jax.jit
+    def bert_step(dropped, image_embeds, input_ids, attention_mask):
+        b = image_embeds.shape[0]
+        keep = 1.0 - dropped.reshape(b, grid, grid)
+        gc, _ = bert_gradcam_fn(image_embeds, input_ids, attention_mask)
+        gc = gc * keep[:, None, :, :]
+        salience = gc[:, 3:-1].sum(axis=1).reshape(b, num_patches)
+        salience = jnp.where(dropped > 0, -jnp.inf, salience)
+        _, top_idx = jax.lax.top_k(salience, k_drop)
+        new_drops = jax.nn.one_hot(top_idx, num_patches, dtype=dropped.dtype)
+        dropped = jnp.clip(dropped + new_drops.sum(axis=1), 0.0, 1.0)
+        return dropped, gc
+
+    def round_step(dropped, images, input_ids, attention_mask):
+        embeds = encode_step(dropped, images)
+        return bert_step(dropped, embeds, input_ids, attention_mask)
+
+    return round_step

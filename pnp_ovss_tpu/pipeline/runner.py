@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pnp_ovss_tpu.attribution import gradcam as gradcam_mod
 from pnp_ovss_tpu.attribution.gradcam import gradcam_from_tap
 from pnp_ovss_tpu.config import PipelineConfig
 from pnp_ovss_tpu.evalx import metrics as metrics_mod
@@ -83,8 +84,9 @@ class SegmentationRunner:
         # The drop loop runs as a host loop over a single jitted round step
         # (pipeline/drop.py): compiling the whole scan-of-vjp in one program
         # took tens of minutes on the TPU backend.
-        self._round_step = drop_mod.make_round_step(
-            self._gradcam_fn,
+        self._round_step = drop_mod.make_split_round_step(
+            self._embed_fn,
+            self._bert_gradcam_fn,
             cfg=cfg.drop,
             grid=cfg.model.vit.grid,
             patch_size=cfg.model.vit.patch_size,
@@ -110,6 +112,36 @@ class SegmentationRunner:
             num_capture_layers=1,
             num_heads=cfg.model.bert.num_heads,
             num_image_tokens=cfg.model.vit.seq_len,
+            grid=cfg.model.vit.grid,
+        )
+        return gc[0, :, cfg.attribution.head], logits
+
+    def _embed_fn(self, images):
+        from pnp_ovss_tpu.models.blip_itm import BlipITM
+
+        return self.model.apply(
+            self.params, images, method=BlipITM.encode_image
+        )
+
+    def _bert_gradcam_fn(self, image_embeds, ids, mask):
+        cfg = self.cfg
+
+        def apply_embeds_fn(p, embeds, i, m, cross_tap):
+            from pnp_ovss_tpu.models.blip_itm import BlipITM
+
+            return self.model.apply(
+                p, embeds, i, m, cross_tap=cross_tap,
+                method=BlipITM.itm_from_embeds,
+            )
+
+        gc, logits = gradcam_mod.gradcam_from_embeds(
+            apply_embeds_fn,
+            self.params,
+            image_embeds,
+            ids,
+            mask,
+            num_capture_layers=1,
+            num_heads=cfg.model.bert.num_heads,
             grid=cfg.model.vit.grid,
         )
         return gc[0, :, cfg.attribution.head], logits
