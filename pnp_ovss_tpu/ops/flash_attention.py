@@ -122,9 +122,6 @@ def flash_mha(q: jax.Array, k: jax.Array, v: jax.Array, *, out_dtype=None):
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((b * h, s_pad, d), out_dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-        ),
         # Mosaic kernels only compile for TPU; CPU (tests) uses the
         # interpreter.
         interpret=jax.default_backend() == "cpu",
