@@ -130,11 +130,13 @@ def make_gradcam_fn(model, params, *, layer: int, head: Optional[int] = None):
     def apply_fn(p, images, ids, mask, cross_tap):
         return model.apply(p, images, ids, mask, cross_tap=cross_tap)
 
+    # Params stay a jit ARGUMENT: closing over the weight tree makes XLA
+    # constant-fold 300M parameters into the program, exploding compiles.
     @jax.jit
-    def fn(images, input_ids, attention_mask):
+    def _fn(p, images, input_ids, attention_mask):
         gc, logits = gradcam_from_tap(
             apply_fn,
-            params,
+            p,
             images,
             input_ids,
             attention_mask,
@@ -147,5 +149,8 @@ def make_gradcam_fn(model, params, *, layer: int, head: Optional[int] = None):
         if head is not None:
             gc = gc[:, head]
         return gc, logits
+
+    def fn(images, input_ids, attention_mask):
+        return _fn(params, images, input_ids, attention_mask)
 
     return fn

@@ -33,15 +33,20 @@ def ensemble_gradcam_fn(model, params, cfg):
         return model.apply(p, im, i, m, cross_tap=cross_tap)
 
     @jax.jit
-    def fn(images, ids, mask):
+    def _fn(p, images, ids, mask):
         gc, logits = gradcam_from_tap(
-            apply_fn, params, images, ids, mask,
+            apply_fn, p, images, ids, mask,
             num_capture_layers=cfg.bert.num_layers,
             num_heads=cfg.bert.num_heads,
             num_image_tokens=cfg.vit.seq_len,
             grid=cfg.vit.grid,
         )
         return gc, logits
+
+    def fn(images, ids, mask):
+        # params as jit argument (constant-folding the weights explodes
+        # compile time).
+        return _fn(params, images, ids, mask)
 
     return fn
 
@@ -58,10 +63,13 @@ def make_itc_scorer(model, params, *, batch: int = 16):
         return None
 
     @jax.jit
-    def itc(images, ids, mask):
+    def _itc(p, images, ids, mask):
         from pnp_ovss_tpu.models.blip_itm import BlipITM
 
-        return model.apply(params, images, ids, mask, method=BlipITM.itc)
+        return model.apply(p, images, ids, mask, method=BlipITM.itc)
+
+    def itc(images, ids, mask):
+        return _itc(params, images, ids, mask)
 
     def scorer(images: np.ndarray, texts: List[str], tokenizer,
                max_text_len: int) -> np.ndarray:

@@ -156,26 +156,31 @@ def make_split_round_step(embed_fn, bert_gradcam_fn, *, cfg: DropConfig,
     """Two-program round step: (1) mask+ViT-encode, (2) BERT gradcam+top-k.
 
     Splitting at the image-embedding boundary keeps each compiled program
-    small — the fused forward+vjp program made the remote TPU compiler take
-    30+ minutes, while the two halves compile independently (and the encode
-    program is shared with plain ITM scoring). No gradient crosses the
-    split (the GradCAM tap sits after the ViT).
+    small, and the encode program is shared with plain ITM scoring. No
+    gradient crosses the split (the GradCAM tap sits after the ViT).
+
+    ``embed_fn(params, images)`` and ``bert_gradcam_fn(params, embeds, ids,
+    mask)`` must take params EXPLICITLY: closing over the 300M-parameter
+    tree makes XLA treat the weights as compile-time constants, which blows
+    compile time up by an order of magnitude (constant folding over the
+    whole model).
     """
     num_patches = grid * grid
     k_drop = min(cfg.patches_per_round, num_patches)
 
     @jax.jit
-    def encode_step(dropped, images):
+    def encode_step(params, dropped, images):
         b = images.shape[0]
         keep = 1.0 - dropped.reshape(b, grid, grid)
         pixel_keep = expand_patch_mask_to_pixels(keep, patch_size)
-        return embed_fn(images * pixel_keep)
+        return embed_fn(params, images * pixel_keep)
 
     @jax.jit
-    def bert_step(dropped, image_embeds, input_ids, attention_mask):
+    def bert_step(params, dropped, image_embeds, input_ids, attention_mask):
         b = image_embeds.shape[0]
         keep = 1.0 - dropped.reshape(b, grid, grid)
-        gc, _ = bert_gradcam_fn(image_embeds, input_ids, attention_mask)
+        gc, _ = bert_gradcam_fn(params, image_embeds, input_ids,
+                                attention_mask)
         gc = gc * keep[:, None, :, :]
         salience = gc[:, 3:-1].sum(axis=1).reshape(b, num_patches)
         salience = jnp.where(dropped > 0, -jnp.inf, salience)
@@ -184,8 +189,8 @@ def make_split_round_step(embed_fn, bert_gradcam_fn, *, cfg: DropConfig,
         dropped = jnp.clip(dropped + new_drops.sum(axis=1), 0.0, 1.0)
         return dropped, gc
 
-    def round_step(dropped, images, input_ids, attention_mask):
-        embeds = encode_step(dropped, images)
-        return bert_step(dropped, embeds, input_ids, attention_mask)
+    def round_step(params, dropped, images, input_ids, attention_mask):
+        embeds = encode_step(params, dropped, images)
+        return bert_step(params, dropped, embeds, input_ids, attention_mask)
 
     return round_step

@@ -116,14 +116,12 @@ class SegmentationRunner:
         )
         return gc[0, :, cfg.attribution.head], logits
 
-    def _embed_fn(self, images):
+    def _embed_fn(self, params, images):
         from pnp_ovss_tpu.models.blip_itm import BlipITM
 
-        return self.model.apply(
-            self.params, images, method=BlipITM.encode_image
-        )
+        return self.model.apply(params, images, method=BlipITM.encode_image)
 
-    def _bert_gradcam_fn(self, image_embeds, ids, mask):
+    def _bert_gradcam_fn(self, params, image_embeds, ids, mask):
         cfg = self.cfg
 
         def apply_embeds_fn(p, embeds, i, m, cross_tap):
@@ -136,7 +134,7 @@ class SegmentationRunner:
 
         gc, logits = gradcam_mod.gradcam_from_embeds(
             apply_embeds_fn,
-            self.params,
+            params,
             image_embeds,
             ids,
             mask,
@@ -162,8 +160,9 @@ class SegmentationRunner:
     def _attribution(self, images, ids, mask, pool_matrix):
         """[B,S,S,3],[B,T],[B,T],[B,K,T-1] -> maps_r0/maps_agg [B,K,Hb,Wb]."""
         cfg = self.cfg
+        step = functools.partial(self._round_step, self.params)
         gc0, agg = drop_mod.run_drop_rounds(
-            self._round_step, images, ids, mask,
+            step, images, ids, mask,
             cfg=cfg.drop, num_patches=cfg.model.vit.grid**2,
         )
         return self._finish_maps(gc0, agg, pool_matrix)

@@ -34,5 +34,5 @@ def test_entry_abstract_eval():
     fn, args = graft.entry()
     out = jax.eval_shape(fn, *args)
     gc_shape = out[0].shape
-    assert gc_shape[0] == args[0].shape[0]  # batch
+    assert gc_shape[0] == args[1].shape[0]  # batch
     assert gc_shape[-1] == gc_shape[-2] == 21  # 336/16 grid
