@@ -133,4 +133,5 @@ def test_bilateral_pallas_matches_reference_interpret():
     vals = jnp.asarray(rng.rand(n, c), jnp.float32)
     want = np.asarray(gaussian_kernel_matmul_reference(feats, vals))
     got = np.asarray(gaussian_kernel_matmul(feats, vals))
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    # The kernel@values matmul runs in bf16 (MXU rate): ~1e-2 relative.
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
