@@ -159,6 +159,9 @@ class PostprocessConfig:
     # "host": per-image numpy/C++ path at exact GT resolution (parity mode).
     # "device": batched on-device path at a bucketed resolution (fast mode).
     backend: str = "device"
+    # Bilateral message support stride for the device CRF (1 = exact;
+    # s > 1 = strided quadrature, ~s^2 less work; see ops/crf.py).
+    bilateral_subsample: int = 2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -55,30 +55,45 @@ def _bilateral_kernel(f_i_ref, n_i_ref, f_j_ref, n_j_ref, v_j_ref, o_ref):
                         preferred_element_type=jnp.float32)
 
 
-@jax.jit
-def gaussian_kernel_matmul(features: jax.Array, values: jax.Array):
-    """m = K @ values with K_ij = exp(-||f_i - f_j||^2 / 2), self included.
-
-    features: [N, F] (F <= 8), values: [N, C]. Returns [N, C] float32.
-    Padded rows contribute nothing (their half-norms are huge, so their
-    kernel entries underflow to zero).
-    """
+def _pad_feats(features: jax.Array, n_pad: int) -> jax.Array:
     n, f = features.shape
-    c = values.shape[-1]
-    blk = max(BLOCK_I, BLOCK_J)
-    n_pad = -(-n // blk) * blk
-    c_pad = -(-c // 128) * 128
-
     feats = jnp.zeros((n_pad, FEAT_PAD), jnp.float32)
     feats = feats.at[:n, :f].set(features.astype(jnp.float32))
     half_norms = 0.5 * jnp.sum(feats * feats, axis=-1, keepdims=True)
     row = jnp.arange(n_pad)[:, None]
     half_norms = jnp.where(row < n, half_norms, _BIG)
+    return feats, half_norms
 
-    vals = jnp.zeros((n_pad, c_pad), jnp.float32)
-    vals = vals.at[:n, :c].set(values.astype(jnp.float32))
 
-    grid = (n_pad // BLOCK_I, n_pad // BLOCK_J)
+@jax.jit
+def gaussian_kernel_matmul(
+    features: jax.Array,
+    values: jax.Array,
+    features_j=None,
+):
+    """m_i = sum_j exp(-||f_i - f_j||^2 / 2) v_j, self included.
+
+    features: [N, F] (F <= 8), values: [M, C] with M == N unless
+    ``features_j`` ([M, F]) gives a separate j-side support — used for
+    subsampled message passing where j runs over a strided pixel subset.
+    Returns [N, C] float32. Padded rows contribute nothing (their half
+    norms are huge, so their kernel entries underflow to zero).
+    """
+    n, f = features.shape
+    if features_j is None:
+        features_j = features
+    m = features_j.shape[0]
+    c = values.shape[-1]
+    n_pad = -(-n // BLOCK_I) * BLOCK_I
+    m_pad = -(-m // BLOCK_J) * BLOCK_J
+    c_pad = -(-c // 128) * 128
+
+    feats_i, norms_i = _pad_feats(features, n_pad)
+    feats_j, norms_j = _pad_feats(features_j, m_pad)
+    vals = jnp.zeros((m_pad, c_pad), jnp.float32)
+    vals = vals.at[:m, :c].set(values.astype(jnp.float32))
+
+    grid = (n_pad // BLOCK_I, m_pad // BLOCK_J)
     out = pl.pallas_call(
         _bilateral_kernel,
         grid=grid,
@@ -98,22 +113,29 @@ def gaussian_kernel_matmul(features: jax.Array, values: jax.Array):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, c_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * n_pad * (FEAT_PAD + c_pad),
-            bytes_accessed=n_pad * (FEAT_PAD + c_pad + 2) * 4,
-            transcendentals=n_pad * n_pad,
+            flops=2 * n_pad * m_pad * (FEAT_PAD + c_pad),
+            bytes_accessed=(n_pad + m_pad) * (FEAT_PAD + c_pad + 2) * 4,
+            transcendentals=n_pad * m_pad,
         ),
         compiler_params=pltpu.CompilerParams(
             # i tiles are independent; j is the reduction (output revisit).
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=jax.default_backend() == "cpu",
-    )(feats, half_norms, feats, half_norms, vals)
+    )(feats_i, norms_i, feats_j, norms_j, vals)
     return out[:n, :c]
 
 
-def gaussian_kernel_matmul_reference(features: jax.Array, values: jax.Array):
-    """O(N^2)-memory jnp reference (tests / small inputs / CPU)."""
+def gaussian_kernel_matmul_reference(
+    features: jax.Array, values: jax.Array, features_j=None
+):
+    """O(N*M)-memory jnp reference (tests / small inputs / CPU)."""
     f = features.astype(jnp.float32)
-    d2 = jnp.sum(f * f, -1)[:, None] + jnp.sum(f * f, -1)[None, :] - 2 * f @ f.T
+    fj = f if features_j is None else features_j.astype(jnp.float32)
+    d2 = (
+        jnp.sum(f * f, -1)[:, None]
+        + jnp.sum(fj * fj, -1)[None, :]
+        - 2 * f @ fj.T
+    )
     k = jnp.exp(-0.5 * jnp.maximum(d2, 0.0))
     return k @ values.astype(jnp.float32)

@@ -93,8 +93,17 @@ def mean_field_crf(
     exclude_self: bool = False,
     bilateral_impl: str = "pallas",  # "pallas" | "reference"
     unary_clip: float = 1e-5,
+    bilateral_subsample: int = 1,
 ) -> jax.Array:
-    """Run mean-field inference; returns label map [H, W] int32."""
+    """Run mean-field inference; returns label map [H, W] int32.
+
+    ``bilateral_subsample`` s > 1 restricts the bilateral message support
+    to a strided pixel subset (every s-th pixel in x and y): the
+    Gaussian kernel is smooth in feature space so the strided quadrature
+    approximates the full sum at 1/s^2 the cost, and the symmetric
+    normalisation makes the message scale-invariant to the subsampling
+    (both K(nQ) and the degrees shrink together).
+    """
     c, h, w = logits.shape
     n = h * w
 
@@ -103,15 +112,35 @@ def mean_field_crf(
     u_flat = u.reshape(c, n).T  # [N, C]
 
     feats_bi = bilateral_features(image_rgb, cfg.bi_xy_std, cfg.bi_rgb_std)
-    kernel_matmul = (
-        gaussian_kernel_matmul
-        if bilateral_impl == "pallas"
-        else gaussian_kernel_matmul_reference
-    )
+
+    s = bilateral_subsample
+    if s > 1:
+        hs, ws = -(-h // s), -(-w // s)
+        grid_idx = (
+            (jnp.arange(hs) * s)[:, None] * w + (jnp.arange(ws) * s)[None, :]
+        ).reshape(-1)
+        feats_bi_j = feats_bi[grid_idx]
+
+        def take_j(x):  # [N, C] -> [M, C]
+            return x[grid_idx]
+    else:
+        feats_bi_j = feats_bi
+
+        def take_j(x):
+            return x
+
+    if bilateral_impl == "pallas":
+        def kernel_matmul(fi, v, fj=None):
+            return gaussian_kernel_matmul(fi, v, fj)
+    else:
+        def kernel_matmul(fi, v, fj=None):
+            return gaussian_kernel_matmul_reference(
+                fi, v, fj if fj is not None else None
+            )
 
     # Degrees / symmetric normalisers (constant across iterations).
-    ones = jnp.ones((n, 1), jnp.float32)
-    deg_bi = kernel_matmul(feats_bi, ones)
+    ones_j = jnp.ones((feats_bi_j.shape[0], 1), jnp.float32)
+    deg_bi = kernel_matmul(feats_bi, ones_j, feats_bi_j)
     if exclude_self:
         deg_bi = deg_bi - 1.0
     norm_bi = jax.lax.rsqrt(jnp.maximum(deg_bi, 1e-20))
@@ -130,10 +159,13 @@ def mean_field_crf(
     norm_sp_flat = norm_sp.reshape(n, 1)
 
     def body(_, q_flat):
-        m_bi = _normalised_apply(
-            lambda x: kernel_matmul(feats_bi, x), q_flat, norm_bi,
-            exclude_self,
+        # Bilateral: n_i * K_rect @ (n_j * q_j) over the (possibly
+        # subsampled) j support.
+        m_bi = norm_bi * kernel_matmul(
+            feats_bi, take_j(norm_bi * q_flat), feats_bi_j
         )
+        if exclude_self:
+            m_bi = m_bi - (norm_bi * norm_bi) * q_flat
         m_sp = _normalised_apply(
             spatial_apply_flat, q_flat, norm_sp_flat, exclude_self
         )

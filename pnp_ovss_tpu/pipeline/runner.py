@@ -196,6 +196,7 @@ class SegmentationRunner:
                 return crf_mod.mean_field_crf(
                     logits, img, crf_cfg,
                     bilateral_impl=self.bilateral_impl,
+                    bilateral_subsample=cfg.postprocess.bilateral_subsample,
                 )
 
             labels = jax.lax.map(one, (wbg, images_rgb))

@@ -135,3 +135,25 @@ def test_bilateral_pallas_matches_reference_interpret():
     got = np.asarray(gaussian_kernel_matmul(feats, vals))
     # The kernel@values matmul runs in bf16 (MXU rate): ~1e-2 relative.
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_subsampled_bilateral_close_to_exact():
+    """Strided-support CRF labels ~= exact CRF labels on structured input."""
+    rng = np.random.RandomState(5)
+    c, h, w = 3, 20, 24
+    image = np.zeros((h, w, 3), np.float32)
+    image[:, : w // 2] = [200, 30, 30]
+    image[:, w // 2 :] = [30, 30, 200]
+    image += rng.randn(h, w, 3) * 5
+    logits = rng.randn(c, h, w).astype(np.float32) * 0.5
+    logits[0, :, : w // 2] += 1.5
+    logits[1, :, w // 2 :] += 1.5
+    cfg = CRFConfig(num_iters=5, pos_w=3.0, pos_xy_std=2.0,
+                    bi_w=4.0, bi_xy_std=6.0, bi_rgb_std=20.0)
+    exact = np.asarray(mean_field_crf(
+        jnp.asarray(logits), jnp.asarray(image), cfg,
+        bilateral_impl="reference", bilateral_subsample=1))
+    sub = np.asarray(mean_field_crf(
+        jnp.asarray(logits), jnp.asarray(image), cfg,
+        bilateral_impl="reference", bilateral_subsample=2))
+    assert (exact == sub).mean() > 0.97, (exact == sub).mean()
