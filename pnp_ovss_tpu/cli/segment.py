@@ -66,6 +66,12 @@ def get_args_parser() -> argparse.ArgumentParser:
     # Demo mode (reference coco driver --in_the_wild :351-384): segment
     # arbitrary images in a directory with a user-given class list; no GT,
     # no metrics — rendered maps are written under {save_path}/viz/.
+    p.add_argument("--postprocess_backend", default="device",
+                   choices=["device", "host"],
+                   help="device: batched on-device blur+CRF at bucket "
+                        "resolution (fast). host: per-image native "
+                        "permutohedral CRF at exact GT resolution "
+                        "(reference parity).")
     p.add_argument("--record_classification", action="store_true",
                    help="save per-image classification pred/true vectors "
                         "(reference Record_classification_prediction, "
@@ -265,8 +271,10 @@ def main(argv=None):
 
     logger = MetricLogger()
     bs = cfg.batch_size
+    parity = args.postprocess_backend == "host"
     loader = PrefetchLoader(
         records, batch_size=bs, img_size=cfg.img_size, bucket=runner.bucket,
+        keep_raw=parity,
     )
     for batch in logger.log_every(loader, 10, header="segment",
                                   total=len(loader)):
@@ -292,7 +300,7 @@ def main(argv=None):
         t_host = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        res = runner.run_batch(images_np, cap, rgbs_np)
+        res = runner.run_batch(images_np, cap, rgbs_np, return_maps=parity)
         t_dev = time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -316,13 +324,23 @@ def main(argv=None):
                     os.makedirs(d, exist_ok=True)
                     np.save(os.path.join(
                         d, f"img_{rec.img_id}.npy"), vec)
-            for labels_b, hist_dir, total in (
-                (res.labels_r0, hist_dir_r0, total_r0),
-                (res.labels_agg, hist_dir_agg, total_agg),
+            for variant, hist_dir, total in (
+                ("r0", hist_dir_r0, total_r0),
+                ("agg", hist_dir_agg, total_agg),
             ):
-                pred = runner.finalize_image(
-                    labels_b[i], cat_ids, gt.shape[:2]
-                )
+                if parity:
+                    maps = res.maps_r0 if variant == "r0" else res.maps_agg
+                    pred = runner.finalize_image_parity(
+                        maps[i], bool(res.bg_enable[i]),
+                        cap.class_valid[i], cat_ids,
+                        batch.raw_images[i], gt.shape[:2],
+                    )
+                else:
+                    labels_b = (res.labels_r0 if variant == "r0"
+                                else res.labels_agg)
+                    pred = runner.finalize_image(
+                        labels_b[i], cat_ids, gt.shape[:2]
+                    )
                 h = fast_hist(gt.flatten(), pred.flatten(), n_class)
                 np.save(hist_path(hist_dir, rec.img_id), h)
                 total += h
