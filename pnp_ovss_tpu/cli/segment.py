@@ -47,6 +47,12 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--world_size", type=int, default=1,
                    help="data-parallel hosts (jax.distributed)")
     p.add_argument("--rank", type=int, default=0)
+    p.add_argument("--distributed", action="store_true",
+                   help="initialise jax.distributed (multi-host SPMD over "
+                        "ICI/DCN; rank/world auto-detected) — replaces the "
+                        "reference's NCCL process groups (ddp_setup :45-54)")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the batch over all local devices")
     p.add_argument("--max_txt_len", type=int, default=128,
                    help="static caption bucket (reference pads to 500)")
     # TPU-native knobs.
@@ -181,6 +187,11 @@ def main(argv=None):
     from pnp_ovss_tpu.text.wordpiece import WordPieceTokenizer
     from pnp_ovss_tpu.utils.logging import MetricLogger, log
 
+    if args.distributed:
+        jax.distributed.initialize()
+        args.rank = jax.process_index()
+        args.world_size = jax.process_count()
+
     cfg = build_config(args)
     meta = get_dataset_meta(args.data_type)
 
@@ -219,8 +230,15 @@ def main(argv=None):
             attn_impl=args.attn_impl,
         )
 
+    mesh = None
+    if args.mesh:
+        from pnp_ovss_tpu.parallel import mesh as mesh_mod
+
+        mesh = mesh_mod.make_mesh()
+        log(f"data-parallel mesh over {mesh.devices.size} devices")
+
     runner = SegmentationRunner(
-        cfg, params, attn_impl=args.attn_impl,
+        cfg, params, mesh=mesh, attn_impl=args.attn_impl,
         bucket_size=args.bucket_size,
         bilateral_impl="pallas" if jax.default_backend() != "cpu"
         else "reference",
@@ -268,6 +286,7 @@ def main(argv=None):
     total_agg = np.zeros((n_class, n_class))
 
     from pnp_ovss_tpu.data.loader import PrefetchLoader
+    import concurrent.futures as cf
 
     logger = MetricLogger()
     bs = cfg.batch_size
@@ -276,34 +295,10 @@ def main(argv=None):
         records, batch_size=bs, img_size=cfg.img_size, bucket=runner.bucket,
         keep_raw=parity,
     )
-    for batch in logger.log_every(loader, 10, header="segment",
-                                  total=len(loader)):
-        t0 = time.perf_counter()
-        class_idx_lists, class_name_lists = [], []
-        for rec in batch.records:
-            idxs, names = labels.lookup(rec.gpt_key)
-            class_idx_lists.append(idxs)
-            class_name_lists.append(names)
-        # Pad the trailing batch to the static batch size.
-        pad = bs - len(batch.records)
-        cap = build_caption_batch(
-            class_name_lists + [class_name_lists[-1]] * pad, tok,
-            max_text_len=cfg.model.max_text_len,
-            max_classes=cfg.max_classes,
-        )
-        images_np = np.concatenate(
-            [batch.images] + [batch.images[-1:]] * pad
-        )
-        rgbs_np = np.concatenate(
-            [batch.rgb_bucket] + [batch.rgb_bucket[-1:]] * pad
-        )
-        t_host = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        res = runner.run_batch(images_np, cap, rgbs_np, return_maps=parity)
-        t_dev = time.perf_counter() - t0
-
-        t0 = time.perf_counter()
+    def finalize_batch(batch, res, cap, class_idx_lists):
+        """Host resize/remap/hist for one batch (runs in a worker thread so
+        the next batch's device work overlaps it)."""
         for i, rec in enumerate(batch.records):
             cat_ids = meta.category_ids[class_idx_lists[i]]
             gt = batch.gts[i]
@@ -344,9 +339,46 @@ def main(argv=None):
                 h = fast_hist(gt.flatten(), pred.flatten(), n_class)
                 np.save(hist_path(hist_dir, rec.img_id), h)
                 total += h
-        t_fin = time.perf_counter() - t0
-        logger.update(host_s=t_host, device_s=t_dev, finalize_s=t_fin,
-                      imgs_per_s=len(batch.records) / max(t_dev, 1e-9))
+
+    pending = None
+    with cf.ThreadPoolExecutor(1) as finalize_pool:
+        for batch in logger.log_every(loader, 10, header="segment",
+                                      total=len(loader)):
+            t0 = time.perf_counter()
+            class_idx_lists, class_name_lists = [], []
+            for rec in batch.records:
+                idxs, names = labels.lookup(rec.gpt_key)
+                class_idx_lists.append(idxs)
+                class_name_lists.append(names)
+            # Pad the trailing batch to the static batch size.
+            pad = bs - len(batch.records)
+            cap = build_caption_batch(
+                class_name_lists + [class_name_lists[-1]] * pad, tok,
+                max_text_len=cfg.model.max_text_len,
+                max_classes=cfg.max_classes,
+            )
+            images_np = np.concatenate(
+                [batch.images] + [batch.images[-1:]] * pad
+            )
+            rgbs_np = np.concatenate(
+                [batch.rgb_bucket] + [batch.rgb_bucket[-1:]] * pad
+            )
+            t_host = time.perf_counter() - t0
+
+            t0 = time.perf_counter()
+            res = runner.run_batch(images_np, cap, rgbs_np,
+                                   return_maps=parity)
+            t_dev = time.perf_counter() - t0
+
+            if pending is not None:
+                pending.result()  # surface worker exceptions, keep order
+            pending = finalize_pool.submit(
+                finalize_batch, batch, res, cap, class_idx_lists
+            )
+            logger.update(host_s=t_host, device_s=t_dev,
+                          imgs_per_s=len(batch.records) / max(t_dev, 1e-9))
+        if pending is not None:
+            pending.result()
 
     for name, total in (("1-drop", total_r0), ("N-drop agg", total_agg)):
         if total.sum() == 0:
