@@ -45,7 +45,7 @@ def main():
 
     cfg = PipelineConfig.reference_default()
     on_tpu = jax.default_backend() not in ("cpu",)
-    batch = cfg.batch_size if on_tpu else 2
+    batch = int(os.environ.get("BENCH_BATCH", cfg.batch_size if on_tpu else 2))
 
     params = init_params(
         jax.random.PRNGKey(0), cfg.model,
