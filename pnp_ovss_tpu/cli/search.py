@@ -56,12 +56,6 @@ def make_itc_scorer(model, params, *, batch: int = 16):
     import jax
     import jax.numpy as jnp
 
-    from pnp_ovss_tpu.text.captions import CAPTION_PREFIX
-
-    @functools.lru_cache(maxsize=None)
-    def _noop():
-        return None
-
     @jax.jit
     def _itc(p, images, ids, mask):
         from pnp_ovss_tpu.models.blip_itm import BlipITM
