@@ -78,6 +78,10 @@ def get_args_parser() -> argparse.ArgumentParser:
                         "resolution (fast). host: per-image native "
                         "permutohedral CRF at exact GT resolution "
                         "(reference parity).")
+    p.add_argument("--eval_at_bucket", action="store_true",
+                   help="compute confusion hists on device at the bucket "
+                        "resolution (nearest-resized GT) instead of at "
+                        "exact GT resolution on host — fastest eval mode")
     p.add_argument("--record_classification", action="store_true",
                    help="save per-image classification pred/true vectors "
                         "(reference Record_classification_prediction, "
@@ -293,12 +297,40 @@ def main(argv=None):
     parity = args.postprocess_backend == "host"
     loader = PrefetchLoader(
         records, batch_size=bs, img_size=cfg.img_size, bucket=runner.bucket,
-        keep_raw=parity,
+        keep_raw=parity, gt_at_bucket=args.eval_at_bucket,
     )
+    hist_fn = runner.make_hist_fn(n_class) if args.eval_at_bucket else None
 
     def finalize_batch(batch, res, cap, class_idx_lists):
         """Host resize/remap/hist for one batch (runs in a worker thread so
         the next batch's device work overlaps it)."""
+        if args.eval_at_bucket:
+            import jax.numpy as jnp
+
+            nb = len(batch.records)
+            tables = np.zeros((bs, cfg.max_classes + 2), np.int32)
+            for i in range(nb):
+                cat_ids = meta.category_ids[class_idx_lists[i]]
+                k = len(cat_ids)
+                tables[i, 1 : k + 1] = cat_ids
+            gtb = np.concatenate(
+                [batch.gt_bucket]
+                + [batch.gt_bucket[-1:]] * (bs - nb)
+            ).astype(np.int32)
+            for variant, hist_dir, total in (
+                ("r0", hist_dir_r0, total_r0),
+                ("agg", hist_dir_agg, total_agg),
+            ):
+                labels_b = (res.labels_r0 if variant == "r0"
+                            else res.labels_agg)
+                hists = np.asarray(hist_fn(
+                    jnp.asarray(labels_b), jnp.asarray(tables),
+                    jnp.asarray(gtb),
+                ))
+                for i, rec in enumerate(batch.records):
+                    np.save(hist_path(hist_dir, rec.img_id), hists[i])
+                    total += hists[i]
+            return
         for i, rec in enumerate(batch.records):
             cat_ids = meta.category_ids[class_idx_lists[i]]
             gt = batch.gts[i]

@@ -28,6 +28,7 @@ class LoadedBatch:
     rgb_bucket: np.ndarray  # [B, Hb, Wb, 3] float32 0-255
     raw_images: List[np.ndarray]  # original-resolution RGB (parity CRF)
     gts: List[np.ndarray]  # ground-truth label maps
+    gt_bucket: Optional[np.ndarray] = None  # [B, Hb, Wb] int32 (device eval)
 
 
 class PrefetchLoader:
@@ -42,6 +43,7 @@ class PrefetchLoader:
         prefetch_batches: int = 2,
         load_gt: bool = True,
         keep_raw: bool = False,
+        gt_at_bucket: bool = False,
     ):
         self.records = list(records)
         self.batch_size = batch_size
@@ -51,16 +53,27 @@ class PrefetchLoader:
         self.prefetch = prefetch_batches
         self.load_gt = load_gt
         self.keep_raw = keep_raw
+        self.gt_at_bucket = gt_at_bucket
 
     def __len__(self):
         return -(-len(self.records) // self.batch_size)
 
     def _load_one(self, rec: ImageRecord):
+        from PIL import Image
+
         raw = transforms.load_rgb(rec.image_path)
         img = transforms.preprocess_image(raw, self.img_size)
         rgb = transforms.resize_rgb(raw, (self.bucket, self.bucket))
         gt = rec.load_gt() if self.load_gt else None
-        return img, rgb, raw if self.keep_raw else None, gt
+        gtb = None
+        if gt is not None and self.gt_at_bucket:
+            gtb = np.asarray(
+                Image.fromarray(gt.astype(np.int32), mode="I").resize(
+                    (self.bucket, self.bucket), Image.NEAREST
+                ),
+                np.int32,
+            )
+        return img, rgb, raw if self.keep_raw else None, gt, gtb
 
     def __iter__(self) -> Iterator[LoadedBatch]:
         batches = [
@@ -82,12 +95,16 @@ class PrefetchLoader:
                     rgbs = np.stack([it[1] for it in items]).astype(
                         np.float32
                     )
+                    gtb = None
+                    if self.gt_at_bucket and items[0][4] is not None:
+                        gtb = np.stack([it[4] for it in items])
                     out_q.put(LoadedBatch(
                         records=list(batch),
                         images=imgs,
                         rgb_bucket=rgbs,
                         raw_images=[it[2] for it in items],
                         gts=[it[3] for it in items],
+                        gt_bucket=gtb,
                     ))
             out_q.put(None)
 

@@ -258,6 +258,26 @@ class SegmentationRunner:
             maps_agg=np.asarray(maps_agg) if return_maps else None,
         )
 
+    def make_hist_fn(self, n_class: int):
+        """Jitted per-image confusion matrices at bucket resolution.
+
+        (labels [B,Hb,Wb] channel idx, tables [B,C+1] channel->category,
+        gt [B,Hb,Wb] int32) -> [B, n_class, n_class] int32. Fully on
+        device; under a mesh the batch axis shards and XLA reduces.
+        """
+        from pnp_ovss_tpu.evalx.metrics import fast_hist_jnp
+
+        @jax.jit
+        def hist_fn(labels, tables, gt):
+            pred_cat = jnp.take_along_axis(
+                tables, labels.reshape(labels.shape[0], -1), axis=1
+            ).reshape(labels.shape)
+            return jax.vmap(
+                lambda t, p: fast_hist_jnp(t, p, n_class)
+            )(gt, pred_cat)
+
+        return hist_fn
+
     def finalize_image_parity(
         self,
         maps_bucket: np.ndarray,  # [K, Hb, Wb] pre-postprocess class maps
