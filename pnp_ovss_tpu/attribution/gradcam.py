@@ -19,7 +19,6 @@ the ViT — no image-encoder residuals are saved.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -24,7 +24,7 @@ import base64
 import json
 import os
 import time
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional
 
 from pnp_ovss_tpu.data.categories import get_dataset_meta
 from pnp_ovss_tpu.data.datasets import make_dataset

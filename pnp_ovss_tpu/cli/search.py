@@ -16,7 +16,6 @@ contrast). TPU-native differences:
 from __future__ import annotations
 
 import argparse
-import functools
 import os
 from typing import Dict, List
 

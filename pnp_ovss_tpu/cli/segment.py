@@ -15,10 +15,8 @@ offline aggregation and image-granular resume both work:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import os
 import time
-from typing import List
 
 import numpy as np
 

@@ -8,7 +8,7 @@ replacing the reference's per-image ``.npy`` scatter + offline sum.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ TPU-native differences from the reference (deliberate):
 
 from __future__ import annotations
 
-from typing import Any
 
 import flax.linen as nn
 import jax

@@ -17,7 +17,6 @@ probabilities returned explicitly.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

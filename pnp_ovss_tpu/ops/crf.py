@@ -28,7 +28,6 @@ matches pydensecrf most closely.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

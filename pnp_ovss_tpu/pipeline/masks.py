@@ -22,7 +22,6 @@ ids are ascending (their usual order) and buggy otherwise.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

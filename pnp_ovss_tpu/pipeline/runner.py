@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +36,6 @@ import numpy as np
 from pnp_ovss_tpu.attribution import gradcam as gradcam_mod
 from pnp_ovss_tpu.attribution.gradcam import gradcam_from_tap
 from pnp_ovss_tpu.config import PipelineConfig
-from pnp_ovss_tpu.evalx import metrics as metrics_mod
 from pnp_ovss_tpu.models.blip_itm import BlipITM
 from pnp_ovss_tpu.ops import crf as crf_mod
 from pnp_ovss_tpu.ops.blur import blur_and_minmax

@@ -13,7 +13,6 @@ reference's bare int() casts are skipped here.
 from __future__ import annotations
 
 import json
-import re
 from typing import Dict, List, Sequence, Tuple
 
 

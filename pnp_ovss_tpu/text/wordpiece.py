@@ -21,7 +21,7 @@ Production use loads the real 30522-entry vocab file
 from __future__ import annotations
 
 import unicodedata
-from typing import Dict, Iterable, List, Sequence, Tuple
+from typing import Dict, Iterable, List, Tuple
 
 import numpy as np
 
