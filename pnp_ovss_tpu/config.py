@@ -160,7 +160,10 @@ class PostprocessConfig:
     backend: str = "device"
     # Bilateral message support stride for the device CRF (1 = exact;
     # s > 1 = strided quadrature, ~s^2 less work; see ops/crf.py).
-    bilateral_subsample: int = 2
+    # s=3: identical labels on structured synthetic inputs, ~88% on
+    # pathological pure-noise texture (same as s=2); gate against real
+    # mIoU when checkpoint/datasets are available.
+    bilateral_subsample: int = 3
 
 
 @dataclasses.dataclass(frozen=True)

@@ -193,7 +193,7 @@ class SegmentationRunner:
             def one(args):
                 logits, img = args
                 return crf_mod.mean_field_crf(
-                    logits, img, crf_cfg,
+                    logits, img.astype(jnp.float32), crf_cfg,
                     bilateral_impl=self.bilateral_impl,
                     bilateral_subsample=cfg.postprocess.bilateral_subsample,
                 )
@@ -201,7 +201,9 @@ class SegmentationRunner:
             labels = jax.lax.map(one, (wbg, images_rgb))
         else:
             labels = masks_mod.argmax_labels(wbg)
-        return labels
+        # Channel indices fit in uint8 (K+1 <= 29): quarters the
+        # device->host transfer over the tunnel.
+        return labels.astype(jnp.uint8)
 
     # ------------------------------------------------------------------
     # Host orchestration
@@ -225,8 +227,12 @@ class SegmentationRunner:
                 for c in n
             ]
         )
+        # bf16 image transfer: halves the host->device bytes; the model
+        # computes in bf16 anyway.
+        import ml_dtypes
+
         args = (
-            jnp.asarray(images),
+            jnp.asarray(np.asarray(images, ml_dtypes.bfloat16)),
             jnp.asarray(caption_batch.input_ids),
             jnp.asarray(caption_batch.attention_mask),
             jnp.asarray(caption_batch.pool_matrix),
@@ -239,7 +245,8 @@ class SegmentationRunner:
         # dispatch/compile cost; the CRF lax.map just sees 2B images).
         bg_j = jnp.asarray(bg_enable)
         valid_j = jnp.asarray(caption_batch.class_valid)
-        rgb_j = jnp.asarray(images_rgb_bucket, jnp.float32)
+        # uint8 RGB transfer (cast to f32 on device inside the CRF).
+        rgb_j = jnp.asarray(np.asarray(images_rgb_bucket, np.uint8))
         b = maps_r0.shape[0]
         labels_both = self._post(
             jnp.concatenate([maps_r0, maps_agg], axis=0),
