@@ -168,9 +168,16 @@ class SegmentationRunner:
 
     def _post_fn(self, maps, bg_enable, class_valid, images_rgb):
         """maps [B,K,Hb,Wb]; bg_enable [B] bool; class_valid [B,K] bool;
-        images_rgb [B,Hb,Wb,3] 0-255 -> labels [B,Hb,Wb] int32."""
+        images_rgb [B or B/2, Hb, Wb, 3] 0-255 -> labels [B,Hb,Wb].
+
+        When maps batch is twice the rgb batch (the fused r0+agg call),
+        the rgb/bg/valid inputs are tiled on device — transferred once."""
         cfg = self.cfg
         b, k, hb, wb = maps.shape
+        if images_rgb.shape[0] * 2 == b:
+            images_rgb = jnp.concatenate([images_rgb, images_rgb], axis=0)
+            bg_enable = jnp.concatenate([bg_enable, bg_enable], axis=0)
+            class_valid = jnp.concatenate([class_valid, class_valid], axis=0)
         maps = jnp.where(class_valid[:, :, None, None], maps, 0.0)
         wbg = masks_mod.add_background(maps)  # [B, K+1, Hb, Wb]
 
@@ -250,9 +257,7 @@ class SegmentationRunner:
         b = maps_r0.shape[0]
         labels_both = self._post(
             jnp.concatenate([maps_r0, maps_agg], axis=0),
-            jnp.concatenate([bg_j, bg_j], axis=0),
-            jnp.concatenate([valid_j, valid_j], axis=0),
-            jnp.concatenate([rgb_j, rgb_j], axis=0),
+            bg_j, valid_j, rgb_j,
         )
         labels_r0, labels_agg = labels_both[:b], labels_both[b:]
         return BatchResult(
