@@ -1,0 +1,87 @@
+"""End-to-end CLI driver test on a synthetic VOC fixture."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def fake_voc(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fake_voc")
+    base = root / "VOCdevkit/VOC2012"
+    (base / "ImageSets/Segmentation").mkdir(parents=True)
+    (base / "JPEGImages").mkdir()
+    (base / "SegmentationClass").mkdir()
+    (root / "GPT4o_classification").mkdir()
+
+    rng = np.random.RandomState(0)
+    ids = [f"2007_{i:06d}" for i in range(5)]
+    gpt = {}
+    for img_id in ids:
+        img = (rng.rand(60, 80, 3) * 255).astype(np.uint8)
+        img[:30, :40] = [200, 40, 40]
+        Image.fromarray(img).save(base / "JPEGImages" / f"{img_id}.jpg")
+        gt = np.zeros((60, 80), np.uint8)
+        gt[:30, :40] = 12
+        gt[40:, 50:] = 255  # ignore -> remapped to 0
+        Image.fromarray(gt).save(
+            base / "SegmentationClass" / f"{img_id}.png"
+        )
+        gpt[img_id] = "[12: 'dog', 8: 'cat'], [12: 95%, 8: 80%]"
+    with open(base / "ImageSets/Segmentation/val.txt", "w") as f:
+        f.write("\n".join(ids) + "\n")
+    with open(
+        root / "GPT4o_classification/voc_classification_noboundary.json", "w"
+    ) as f:
+        json.dump(gpt, f)
+    return str(root)
+
+
+def _run(fake_voc, out, extra):
+    from pnp_ovss_tpu.cli.segment import main
+
+    main([
+        "--data_type", "voc", "--home_dir", fake_voc, "--save_path", out,
+        "--img_size", "48", "--batch_size", "4", "--drop_iter", "2",
+        "--bucket_size", "32", "--attn_impl", "xla", "--max_txt_len", "32",
+    ] + extra)
+
+
+def test_cli_end_to_end_and_resume(fake_voc, tmp_path):
+    out = str(tmp_path / "out")
+    _run(fake_voc, out, [])
+    hist_dir = os.path.join(out, "all_drop_hist_with_filtered_caption")
+    files = sorted(os.listdir(hist_dir))
+    assert len(files) == 5
+    h = np.load(os.path.join(hist_dir, files[0]))
+    assert h.shape == (21, 21)
+    assert h.sum() == 60 * 80  # every pixel counted
+
+    # Resume: second run writes nothing new (mtimes unchanged).
+    mtimes = {f: os.path.getmtime(os.path.join(hist_dir, f)) for f in files}
+    _run(fake_voc, out, [])
+    for f in files:
+        assert os.path.getmtime(os.path.join(hist_dir, f)) == mtimes[f]
+
+    # Offline aggregation consumes the same files.
+    from pnp_ovss_tpu.evalx.aggregate import aggregate
+
+    tables = aggregate(out, "voc")
+    assert "all_drop_hist_with_filtered_caption" in tables
+    assert 0.0 <= tables["all_drop_hist_with_filtered_caption"][
+        "Pixel Accuracy"
+    ] <= 1.0
+
+
+def test_cli_device_eval_mode(fake_voc, tmp_path):
+    out = str(tmp_path / "out_bucket")
+    _run(fake_voc, out, ["--eval_at_bucket"])
+    hist_dir = os.path.join(out, "hist_withfiltered_caption")
+    files = sorted(os.listdir(hist_dir))
+    assert len(files) == 5
+    h = np.load(os.path.join(hist_dir, files[0]))
+    assert h.shape == (21, 21)
+    assert h.sum() == 32 * 32  # bucket-resolution hist
