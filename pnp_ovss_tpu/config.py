@@ -65,6 +65,7 @@ class BertConfig:
     encoder_width: int = 1024  # ViT-L hidden size (cross-attn K/V input dim)
     layer_norm_eps: float = 1e-12
     pad_token_id: int = 0
+    enc_token_id: int = 30523  # BLIP [ENC] (text/wordpiece.BLIP_ENC_ID)
     dtype: str = "bfloat16"
 
     @property
@@ -104,6 +105,7 @@ class ModelConfig:
                 intermediate_size=64,
                 max_position_embeddings=64,
                 encoder_width=32,
+                enc_token_id=2,
                 dtype="float32",
             ),
             embed_dim=16,

@@ -92,6 +92,24 @@ class BlipITM(nn.Module):
         _ = self.itc(images, input_ids, attention_mask)
         return out
 
+    def itm_rank(
+        self,
+        image_embeds: jax.Array,
+        input_ids: jax.Array,
+    ) -> jax.Array:
+        """ITM match probability for ranking (reference itm_rank :267-295).
+
+        Drops the first 3 tokens of the given ids, swaps position 0 to
+        [ENC] (the caller passes ids whose slice [3:] starts at a caption
+        body, matching the reference's prompt-stripping), masks on
+        non-pad tokens and returns softmax(itm)[:, 1].
+        """
+        ids = input_ids[:, 3:]
+        ids = ids.at[:, 0].set(self.cfg.bert.enc_token_id)
+        mask = (ids != self.cfg.bert.pad_token_id).astype(jnp.int32)
+        logits, _ = self.itm_from_embeds(image_embeds, ids, mask)
+        return jax.nn.softmax(logits, axis=1)[:, 1]
+
     def itc(
         self,
         images: jax.Array,

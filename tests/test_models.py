@@ -97,3 +97,17 @@ def test_interpolate_pos_embed():
     assert out.shape == (1, 26, 8)
     np.testing.assert_allclose(out[:, 0], pe[:, 0])  # CLS preserved
     assert interpolate_pos_embed(pe, 9) is pe
+
+
+def test_itm_rank(tiny):
+    cfg, model, params, _ = tiny
+    images, ids, mask = _inputs(cfg)
+    embeds = jax.jit(
+        lambda p, im: model.apply(p, im, method=BlipITM.encode_image)
+    )(params, images)
+    probs = jax.jit(
+        lambda p, e, i: model.apply(p, e, i, method=BlipITM.itm_rank)
+    )(params, embeds, ids)
+    assert probs.shape == (2,)
+    p = np.asarray(probs)
+    assert ((0 <= p) & (p <= 1)).all()
