@@ -161,15 +161,32 @@ def main(argv=None):
     gc_fn = ensemble_gradcam_fn(model, params, cfg)
 
     # Precompute per-image ensemble gradcams for the reward subset, pooled
-    # per GT class (Wsupervised uses ground-truth classes, Dataset.py:231).
+    # per class. Wsupervised uses ground-truth classes (Dataset.py:231);
+    # Unsupervised prefers GPT-proposed classes when the cache exists.
+    gpt_provider = None
+    if args.search == "Unsupervised":
+        gpt_path = os.path.join(
+            args.home_dir, "GPT4o_classification",
+            f"{args.data_type}_classification_noboundary.json",
+        )
+        if os.path.exists(gpt_path):
+            from pnp_ovss_tpu.text.labels import GPTLabelProvider
+
+            gpt_provider = GPTLabelProvider(gpt_path, meta.nms)
+
     ds = make_dataset(args.data_type, args.home_dir)
     records = list(ds.records())[: args.limit]
     cache: Dict[str, tuple] = {}
     for rec in records:
         raw = transforms.load_rgb(rec.image_path)
-        gt = rec.load_gt()
-        gt_ids = [int(i) for i in np.unique(gt) if 0 < i < len(meta.nms) + 1]
-        names = [meta.nms[i - 1] for i in gt_ids]
+        if gpt_provider is not None:
+            _, names = gpt_provider.lookup(rec.gpt_key)
+        else:
+            gt = rec.load_gt()
+            gt_ids = [
+                int(i) for i in np.unique(gt) if 0 < i < len(meta.nms) + 1
+            ]
+            names = [meta.nms[i - 1] for i in gt_ids]
         if not names:
             continue
         cap = build_caption_batch(
@@ -187,7 +204,9 @@ def main(argv=None):
             ))[0, :k]
             for l in range(gc.shape[0]) for h in range(gc.shape[2])
         ])  # [(L*H), K, g, g]
-        clip_img = transforms.preprocess_image(raw, 224)
+        # Masked crops are scored by the BLIP ITC head at the model's own
+        # resolution (the reference's separate CLIP runs at 224/336).
+        clip_img = transforms.preprocess_image(raw, cfg.vit.image_size)
         cache[rec.img_id] = (pooled.reshape(
             gc.shape[0], gc.shape[2], k, cfg.vit.grid, cfg.vit.grid
         ), cap.class_names[0], clip_img)
@@ -196,7 +215,15 @@ def main(argv=None):
 
     def gradcam_provider(layer, head):
         for img_id, (pooled, names, img) in cache.items():
-            yield img_id, (pooled[layer - lo, head], names, img)
+            maps = pooled[layer - lo, head]
+            if args.search == "Unsupervised":
+                # Reference Unsupervised_pn_mask_for_clipsim
+                # (Dataset.py:103-163): only the top-salience ("top0")
+                # class's mask is scored, no ground-truth labels used.
+                top = int(np.argmax(maps.sum(axis=(1, 2))))
+                yield img_id, (maps[top : top + 1], [names[top]], img)
+            else:
+                yield img_id, (maps, names, img)
 
     def scorer(images, texts):
         return itc_scorer(images, texts, tok, cfg.max_text_len)
@@ -209,7 +236,8 @@ def main(argv=None):
         scale_by_token_contrast=(args.search == "Wsupervised"),
     )
     best, score, history = run_search(
-        evaluator, layers=range(lo, hi + 1), n_iter=args.n_iter
+        evaluator, layers=range(lo, hi + 1),
+        heads=range(cfg.bert.num_heads), n_iter=args.n_iter,
     )
     log(f"best config: {best} score {score}")
     return best, score

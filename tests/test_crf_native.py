@@ -75,3 +75,17 @@ def test_densecrf_native_agrees_with_device_crf():
     )
     agreement = (native == device).mean()
     assert agreement > 0.95, agreement
+
+
+def test_permutohedral_5d_bilateral_features():
+    """Lattice filtering in the CRF's actual 5D feature space."""
+    rng = np.random.RandomState(7)
+    n = 400
+    feats = np.concatenate(
+        [rng.rand(n, 2) * 3, rng.rand(n, 3) * 10], axis=1
+    ).astype(np.float32)
+    vals = rng.rand(n, 4).astype(np.float32)
+    got = crf_host.permutohedral_filter(feats, vals)
+    want = _exact_filter(feats, vals)
+    corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert corr > 0.97, corr

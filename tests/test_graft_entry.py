@@ -16,7 +16,6 @@ def _load_graft():
         "__graft_entry__.py",
     )
     spec = importlib.util.spec_from_file_location("graft_entry", path)
-    mod = importlib.util.spec_from_file_location
     module = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(module)
     return module
