@@ -56,7 +56,7 @@ def main():
         cfg,
         params,
         attn_impl="pallas" if on_tpu else "xla",
-        bucket_size=224 if on_tpu else 32,
+        bucket_size=int(os.environ.get("BENCH_BUCKET", 224 if on_tpu else 32)),
         bilateral_impl="pallas" if on_tpu else "reference",
     )
 
