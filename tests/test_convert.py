@@ -135,3 +135,31 @@ def test_interpolates_pos_embed_on_size_mismatch():
     assert converted["params"]["visual_encoder"]["pos_embed"].shape == (
         1, 10, 32,
     )
+
+
+def test_grouped_and_unrolled_layouts_agree():
+    """Same torch weights through the grouped (scan) and unrolled (ensemble)
+    parameter layouts must give identical ITM logits — guards the stacking
+    order of nn.scan parameter groups."""
+    cfg = ModelConfig.tiny()
+    rng = np.random.RandomState(9)
+    sd = _tiny_torch_state_dict(cfg, rng)
+
+    images = jnp.asarray(rng.randn(2, 48, 48, 3), jnp.float32)
+    ids = jnp.asarray(rng.randint(5, 50, (2, cfg.max_text_len)), jnp.int32)
+    mask = jnp.ones((2, cfg.max_text_len), jnp.int32)
+
+    # Grouped: capture layer 0 -> layers_pre empty, layer_0, layer_1 unrolled
+    # ... use capture (1,) to exercise a non-empty scan group.
+    p_grouped = convert_state_dict(sd, cfg, capture_layers=(1,))
+    m_grouped = BlipITM(cfg, capture_layers=(1,), attn_impl="xla")
+    lg, _ = jax.jit(m_grouped.apply)(p_grouped, images, ids, mask)
+
+    # Unrolled (multi-capture path).
+    p_unrolled = convert_state_dict(sd, cfg, capture_layers=(0, 1))
+    m_unrolled = BlipITM(cfg, capture_layers=(0, 1), attn_impl="xla")
+    lu, _ = jax.jit(m_unrolled.apply)(p_unrolled, images, ids, mask)
+
+    np.testing.assert_allclose(
+        np.asarray(lg), np.asarray(lu), rtol=1e-4, atol=1e-4
+    )
