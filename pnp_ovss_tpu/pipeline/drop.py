@@ -103,35 +103,6 @@ def salience_drop_loop(
     return gc0, agg
 
 
-def make_round_step(gradcam_fn, *, cfg: DropConfig, grid: int,
-                    patch_size: int):
-    """Build the jitted per-round drop step (create ONCE and reuse).
-
-    Jitting the whole round scan in one program makes XLA compile the
-    forward+vjp body inside a scan (plus its transpose), which took tens
-    of minutes for BLIP-ITM-Large on the TPU backend; a host loop over this
-    step compiles the body once and costs only num_rounds dispatches.
-    """
-    num_patches = grid * grid
-    k_drop = min(cfg.patches_per_round, num_patches)
-
-    @jax.jit
-    def round_step(dropped, images, input_ids, attention_mask):
-        b = images.shape[0]
-        keep = 1.0 - dropped.reshape(b, grid, grid)
-        pixel_keep = expand_patch_mask_to_pixels(keep, patch_size)
-        gc, _ = gradcam_fn(images * pixel_keep, input_ids, attention_mask)
-        gc = gc * keep[:, None, :, :]
-        salience = gc[:, 3:-1].sum(axis=1).reshape(b, num_patches)
-        salience = jnp.where(dropped > 0, -jnp.inf, salience)
-        _, top_idx = jax.lax.top_k(salience, k_drop)
-        new_drops = jax.nn.one_hot(top_idx, num_patches, dtype=dropped.dtype)
-        dropped = jnp.clip(dropped + new_drops.sum(axis=1), 0.0, 1.0)
-        return dropped, gc
-
-    return round_step
-
-
 def run_drop_rounds(round_step, images, input_ids, attention_mask,
                     *, cfg: DropConfig, num_patches: int):
     """Host loop over drop rounds. Same semantics as salience_drop_loop."""
