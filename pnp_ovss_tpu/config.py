@@ -162,10 +162,11 @@ class PostprocessConfig:
     backend: str = "device"
     # Bilateral message support stride for the device CRF (1 = exact;
     # s > 1 = strided quadrature, ~s^2 less work; see ops/crf.py).
-    # s=3: identical labels on structured synthetic inputs, ~88% on
-    # pathological pure-noise texture (same as s=2); gate against real
-    # mIoU when checkpoint/datasets are available.
-    bilateral_subsample: int = 3
+    # s=4: identical labels on structured and realistic synthetic inputs
+    # (tests/test_crf.py; sigma_xy=50 makes the kernel very smooth), ~88%
+    # on pathological pure-noise texture (no worse than s=2); gate against
+    # real mIoU when checkpoint/datasets are available.
+    bilateral_subsample: int = 4
 
 
 @dataclasses.dataclass(frozen=True)
