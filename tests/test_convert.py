@@ -163,3 +163,26 @@ def test_grouped_and_unrolled_layouts_agree():
     np.testing.assert_allclose(
         np.asarray(lg), np.asarray(lu), rtol=1e-4, atol=1e-4
     )
+
+
+def test_orbax_param_cache(tmp_path):
+    """load_params_cached converts once then restores from the orbax cache."""
+    torch = pytest.importorskip("torch")
+    from pnp_ovss_tpu.models.cache import load_params_cached
+
+    cfg = ModelConfig.tiny()
+    sd = _tiny_torch_state_dict(cfg, np.random.RandomState(4))
+    ckpt_path = str(tmp_path / "model.pth")
+    torch.save({"model": {k: torch.tensor(v) for k, v in sd.items()}},
+               ckpt_path)
+
+    cache_dir = str(tmp_path / "cache")
+    p1 = load_params_cached(ckpt_path, cfg, (0,), cache_dir=cache_dir)
+    stores = list((tmp_path / "cache" / "params").iterdir())
+    assert len(stores) == 1
+    p2 = load_params_cached(ckpt_path, cfg, (0,), cache_dir=cache_dir)
+    a = jax.tree.leaves(p1)
+    b = jax.tree.leaves(p2)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
