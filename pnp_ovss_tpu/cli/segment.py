@@ -220,10 +220,10 @@ def main(argv=None):
     # --- model --------------------------------------------------------
     layer0 = cfg.attribution.layer - 1
     if args.checkpoint:
-        from pnp_ovss_tpu.models.convert import load_torch_checkpoint
+        from pnp_ovss_tpu.models.cache import load_params_cached
 
-        params = load_torch_checkpoint(args.checkpoint, cfg.model,
-                                       capture_layers=(layer0,))
+        params = load_params_cached(args.checkpoint, cfg.model,
+                                    (layer0,))
     else:
         log("WARNING: no --checkpoint given; RANDOM weights "
             "(throughput/smoke runs only)")

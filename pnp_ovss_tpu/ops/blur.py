@@ -55,13 +55,18 @@ def _blur_matrix_np(n: int, sigma: float, truncate: float) -> np.ndarray:
 def gaussian_blur2d(
     x: jax.Array, sigma: float, *, truncate: float = 4.0
 ) -> jax.Array:
-    """Blur [..., H, W] with an isotropic Gaussian (scipy-equivalent)."""
+    """Blur [..., H, W] with an isotropic Gaussian (scipy-equivalent).
+
+    Matmul precision follows the input dtype (bf16 inputs ride the MXU at
+    2x rate with f32 accumulation; f32 inputs stay exact for the scipy
+    parity tests)."""
     h, w = x.shape[-2:]
-    bh = jnp.asarray(_blur_matrix_np(h, float(sigma), truncate))
-    bw = jnp.asarray(_blur_matrix_np(w, float(sigma), truncate))
-    y = jnp.einsum("oh,...hw->...ow", bh, x.astype(jnp.float32),
+    in_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    bh = jnp.asarray(_blur_matrix_np(h, float(sigma), truncate), in_dtype)
+    bw = jnp.asarray(_blur_matrix_np(w, float(sigma), truncate), in_dtype)
+    y = jnp.einsum("oh,...hw->...ow", bh, x.astype(in_dtype),
                    preferred_element_type=jnp.float32)
-    y = jnp.einsum("pw,...ow->...op", bw, y,
+    y = jnp.einsum("pw,...ow->...op", bw, y.astype(in_dtype),
                    preferred_element_type=jnp.float32)
     return y
 

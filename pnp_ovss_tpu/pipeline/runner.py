@@ -184,7 +184,8 @@ class SegmentationRunner:
         mode = cfg.postprocess.mode
         if "blur" in mode:
             sigma = cfg.postprocess.blur_scale * max(hb, wb)
-            wbg = blur_and_minmax(wbg, sigma)
+            # bf16 blur matmuls (MXU rate); min-max renormalises after.
+            wbg = blur_and_minmax(wbg.astype(jnp.bfloat16), sigma)
 
         # Disable the background channel where the context rule says so and
         # padded class slots everywhere (reference builds exactly-K channel
