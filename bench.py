@@ -82,11 +82,17 @@ def main():
     res = runner.run_batch(images, cap, rgb)
     res.labels_agg.sum()
 
+    # Double-buffered dispatch (as the CLI driver runs): submit batch N+1
+    # before materialising batch N so the device queue never drains.
     iters = 3
     t0 = time.perf_counter()
+    pending = None
     for _ in range(iters):
-        res = runner.run_batch(images, cap, rgb)
-    res.labels_agg.sum()  # sync
+        nxt = runner.submit_batch(images, cap, rgb)
+        if pending is not None:
+            pending.result()
+        pending = nxt
+    pending.result()
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * iters / dt
@@ -99,6 +105,11 @@ def main():
                 "vs_baseline": round(
                     imgs_per_sec / REFERENCE_IMGS_PER_SEC_ESTIMATE, 2
                 ),
+                # The denominator is a documented ESTIMATE of the reference
+                # on its 48GB-GPU setup (no GPU exists here to measure it;
+                # BASELINE.md records the methodology and a real CPU-scaled
+                # measurement via scripts/measure_reference_cpu.py).
+                "vs_baseline_estimated": True,
             }
         )
     )

@@ -370,8 +370,33 @@ def main(argv=None):
                 np.save(hist_path(hist_dir, rec.img_id), h)
                 total += h
 
-    pending = None
+    # Double-buffered pipeline: batch N+1's attribution + postprocess are
+    # DISPATCHED (async) before batch N's labels are materialised, so the
+    # device queue never drains; host finalize additionally overlaps in a
+    # worker thread. (The reference's loop is fully synchronous per batch,
+    # driver :213-257.)
+    in_flight = None  # (batch, PendingBatch, cap, class_idx_lists, t_sub)
+    fin_future = None
     with cf.ThreadPoolExecutor(1) as finalize_pool:
+
+        def collect(entry):
+            nonlocal fin_future
+            b0, pb0, cap0, cls0, t_sub = entry
+            t0 = time.perf_counter()
+            res0 = pb0.result()  # blocks on device queue + D2H
+            t_dev = time.perf_counter() - t0
+            if fin_future is not None:
+                fin_future.result()  # surface worker exceptions, keep order
+            fin_future = finalize_pool.submit(
+                finalize_batch, b0, res0, cap0, cls0
+            )
+            logger.update(
+                device_s=t_dev,
+                imgs_per_s=len(b0.records) / max(
+                    time.perf_counter() - t_sub, 1e-9
+                ),
+            )
+
         for batch in logger.log_every(loader, 10, header="segment",
                                       total=len(loader)):
             t0 = time.perf_counter()
@@ -393,22 +418,18 @@ def main(argv=None):
             rgbs_np = np.concatenate(
                 [batch.rgb_bucket] + [batch.rgb_bucket[-1:]] * pad
             )
-            t_host = time.perf_counter() - t0
+            t_sub = time.perf_counter()
+            pending_batch = runner.submit_batch(images_np, cap, rgbs_np,
+                                                return_maps=parity)
+            logger.update(host_s=t_sub - t0)
 
-            t0 = time.perf_counter()
-            res = runner.run_batch(images_np, cap, rgbs_np,
-                                   return_maps=parity)
-            t_dev = time.perf_counter() - t0
-
-            if pending is not None:
-                pending.result()  # surface worker exceptions, keep order
-            pending = finalize_pool.submit(
-                finalize_batch, batch, res, cap, class_idx_lists
-            )
-            logger.update(host_s=t_host, device_s=t_dev,
-                          imgs_per_s=len(batch.records) / max(t_dev, 1e-9))
-        if pending is not None:
-            pending.result()
+            if in_flight is not None:
+                collect(in_flight)
+            in_flight = (batch, pending_batch, cap, class_idx_lists, t_sub)
+        if in_flight is not None:
+            collect(in_flight)
+        if fin_future is not None:
+            fin_future.result()
 
     for name, total in (("1-drop", total_r0), ("N-drop agg", total_agg)):
         if total.sum() == 0:

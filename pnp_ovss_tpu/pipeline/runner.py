@@ -59,6 +59,38 @@ class BatchResult:
     maps_agg: Optional[np.ndarray] = None
 
 
+@dataclasses.dataclass
+class PendingBatch:
+    """A dispatched-but-unmaterialised batch (device arrays only).
+
+    All device programs for the batch are already enqueued; calling
+    ``result()`` blocks on the device->host transfer. Holding at most one
+    PendingBatch while dispatching the next batch double-buffers the
+    pipeline: batch N+1's attribution queues behind batch N's postprocess
+    with no host-side gap (the reference's loop is fully synchronous,
+    driver :213-257).
+    """
+
+    labels_r0_dev: jax.Array
+    labels_agg_dev: jax.Array
+    num_classes: np.ndarray
+    bg_enable: np.ndarray
+    maps_r0_dev: Optional[jax.Array] = None
+    maps_agg_dev: Optional[jax.Array] = None
+
+    def result(self) -> BatchResult:
+        return BatchResult(
+            labels_r0=np.asarray(self.labels_r0_dev),
+            labels_agg=np.asarray(self.labels_agg_dev),
+            num_classes=self.num_classes,
+            bg_enable=self.bg_enable,
+            maps_r0=(None if self.maps_r0_dev is None
+                     else np.asarray(self.maps_r0_dev)),
+            maps_agg=(None if self.maps_agg_dev is None
+                      else np.asarray(self.maps_agg_dev)),
+        )
+
+
 class SegmentationRunner:
     def __init__(
         self,
@@ -218,12 +250,25 @@ class SegmentationRunner:
     # ------------------------------------------------------------------
     def run_batch(
         self,
+        images: np.ndarray,
+        caption_batch,
+        images_rgb_bucket: np.ndarray,
+        *,
+        return_maps: bool = False,
+    ) -> BatchResult:
+        """Dispatch one batch and block for its results (see submit_batch)."""
+        return self.submit_batch(
+            images, caption_batch, images_rgb_bucket, return_maps=return_maps
+        ).result()
+
+    def submit_batch(
+        self,
         images: np.ndarray,  # [B, S, S, 3] normalised
         caption_batch,  # text.captions.CaptionBatch
         images_rgb_bucket: np.ndarray,  # [B, Hb, Wb, 3] 0-255
         *,
         return_maps: bool = False,
-    ) -> BatchResult:
+    ) -> PendingBatch:
         cfg = self.cfg
         n = caption_batch.num_classes
         bg_enable = np.asarray(
@@ -261,13 +306,13 @@ class SegmentationRunner:
             bg_j, valid_j, rgb_j,
         )
         labels_r0, labels_agg = labels_both[:b], labels_both[b:]
-        return BatchResult(
-            labels_r0=np.asarray(labels_r0),
-            labels_agg=np.asarray(labels_agg),
+        return PendingBatch(
+            labels_r0_dev=labels_r0,
+            labels_agg_dev=labels_agg,
             num_classes=np.asarray(n),
             bg_enable=bg_enable,
-            maps_r0=np.asarray(maps_r0) if return_maps else None,
-            maps_agg=np.asarray(maps_agg) if return_maps else None,
+            maps_r0_dev=maps_r0 if return_maps else None,
+            maps_agg_dev=maps_agg if return_maps else None,
         )
 
     def make_hist_fn(self, n_class: int):

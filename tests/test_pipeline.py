@@ -101,13 +101,17 @@ def test_runner_mesh_parity(setup):
     for a, b in zip(maps_s, maps_m):
         scale = float(jnp.abs(a).max()) + 1e-12
         diff = float(jnp.abs(a - b).max()) / scale
-        assert diff < 1e-3, diff
+        # Different batch partitionings only re-tile the row dimension of
+        # the matmuls; the contraction order per example is unchanged, so
+        # agreement is ~1e-6 (measured), not just "close".
+        assert diff < 1e-4, diff
 
-    # Discrete labels may flip at float ties near the threshold/argmax.
+    # Discrete labels: measured exactly equal on the 8-device CPU mesh; a
+    # tiny allowance (0.1%) covers tie-flips under other XLA versions.
     mism_r0 = (res_single.labels_r0 != res_mesh.labels_r0).mean()
     mism_agg = (res_single.labels_agg != res_mesh.labels_agg).mean()
-    assert mism_r0 < 0.03, mism_r0
-    assert mism_agg < 0.03, mism_agg
+    assert mism_r0 <= 0.001, mism_r0
+    assert mism_agg <= 0.001, mism_agg
 
 
 def test_background_rule_context_vs_object(setup):
