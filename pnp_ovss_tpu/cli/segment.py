@@ -259,9 +259,15 @@ def main(argv=None):
     records = shard_records(records, args.rank, args.world_size)
     log(f"{len(records)} images on rank {args.rank}/{args.world_size}")
 
-    hist_dir_r0 = os.path.join(args.save_path, "hist_withfiltered_caption")
+    # Bucket-resolution hists have different metric semantics than exact-
+    # GT-res hists; tag the directories so an offline aggregator can never
+    # silently mix the two.
+    bucket_tag = f"_bucket{args.bucket_size}" if args.eval_at_bucket else ""
+    hist_dir_r0 = os.path.join(
+        args.save_path, "hist_withfiltered_caption" + bucket_tag
+    )
     hist_dir_agg = os.path.join(
-        args.save_path, "all_drop_hist_with_filtered_caption"
+        args.save_path, "all_drop_hist_with_filtered_caption" + bucket_tag
     )
     os.makedirs(hist_dir_r0, exist_ok=True)
     os.makedirs(hist_dir_agg, exist_ok=True)
@@ -286,6 +292,12 @@ def main(argv=None):
     n_class = NUM_CLASSES[args.data_type]
     total_r0 = np.zeros((n_class, n_class))
     total_agg = np.zeros((n_class, n_class))
+    # --eval_at_bucket: the run-total confusion matrix lives ON DEVICE and
+    # is accumulated in-graph (SURVEY §2.4: psum reduction replacing the
+    # reference's .npy scatter-gather, :513-520). Predicted masks never
+    # leave the TPU; only the tiny per-image [C,C] hists come down for the
+    # resume files, and one total per rank is written at the end.
+    dev_totals = {"r0": None, "agg": None}
 
     from pnp_ovss_tpu.data.loader import PrefetchLoader
     import concurrent.futures as cf
@@ -298,13 +310,20 @@ def main(argv=None):
         keep_raw=parity, gt_at_bucket=args.eval_at_bucket,
     )
     hist_fn = runner.make_hist_fn(n_class) if args.eval_at_bucket else None
+    if args.eval_at_bucket:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def accum_hist(total, hists, w):
+            # Padded trailing-batch rows carry w=0; under a mesh the batch
+            # axis of `hists` is sharded and XLA reduces across devices.
+            return total + (hists * w[:, None, None]).sum(axis=0)
 
     def finalize_batch(batch, res, cap, class_idx_lists):
         """Host resize/remap/hist for one batch (runs in a worker thread so
         the next batch's device work overlaps it)."""
         if args.eval_at_bucket:
-            import jax.numpy as jnp
-
             nb = len(batch.records)
             tables = np.zeros((bs, cfg.max_classes + 2), np.int32)
             for i in range(nb):
@@ -315,19 +334,26 @@ def main(argv=None):
                 [batch.gt_bucket]
                 + [batch.gt_bucket[-1:]] * (bs - nb)
             ).astype(np.int32)
-            for variant, hist_dir, total in (
-                ("r0", hist_dir_r0, total_r0),
-                ("agg", hist_dir_agg, total_agg),
+            w = np.zeros(bs, np.int32)
+            w[:nb] = 1
+            for variant, hist_dir in (
+                ("r0", hist_dir_r0), ("agg", hist_dir_agg),
             ):
                 labels_b = (res.labels_r0 if variant == "r0"
-                            else res.labels_agg)
-                hists = np.asarray(hist_fn(
-                    jnp.asarray(labels_b), jnp.asarray(tables),
-                    jnp.asarray(gtb),
-                ))
+                            else res.labels_agg)  # device array (uint8)
+                hists_dev = hist_fn(
+                    labels_b, jnp.asarray(tables), jnp.asarray(gtb)
+                )
+                if dev_totals[variant] is None:
+                    dev_totals[variant] = jnp.zeros(
+                        (n_class, n_class), jnp.int32
+                    )
+                dev_totals[variant] = accum_hist(
+                    dev_totals[variant], hists_dev, jnp.asarray(w)
+                )
+                hists = np.asarray(hists_dev)
                 for i, rec in enumerate(batch.records):
                     np.save(hist_path(hist_dir, rec.img_id), hists[i])
-                    total += hists[i]
             return
         for i, rec in enumerate(batch.records):
             cat_ids = meta.category_ids[class_idx_lists[i]]
@@ -383,7 +409,9 @@ def main(argv=None):
             nonlocal fin_future
             b0, pb0, cap0, cls0, t_sub = entry
             t0 = time.perf_counter()
-            res0 = pb0.result()  # blocks on device queue + D2H
+            # Bucket-eval keeps predicted masks on device (hists are
+            # computed and accumulated in-graph).
+            res0 = pb0.result(materialize_labels=not args.eval_at_bucket)
             t_dev = time.perf_counter() - t0
             if fin_future is not None:
                 fin_future.result()  # surface worker exceptions, keep order
@@ -430,6 +458,25 @@ def main(argv=None):
             collect(in_flight)
         if fin_future is not None:
             fin_future.result()
+
+    if args.eval_at_bucket:
+        # One run-total per rank, straight off the device (the in-graph
+        # reduction result) — written next to the per-image resume files.
+        for variant, key in (("r0", "r0"), ("agg", "agg")):
+            if dev_totals[key] is None:
+                continue
+            tot = np.asarray(dev_totals[key])
+            np.save(
+                os.path.join(
+                    args.save_path,
+                    f"total_hist_{variant}{bucket_tag}_rank{args.rank}.npy",
+                ),
+                tot,
+            )
+            if variant == "r0":
+                total_r0 = tot
+            else:
+                total_agg = tot
 
     for name, total in (("1-drop", total_r0), ("N-drop agg", total_agg)):
         if total.sum() == 0:

@@ -78,10 +78,14 @@ class PendingBatch:
     maps_r0_dev: Optional[jax.Array] = None
     maps_agg_dev: Optional[jax.Array] = None
 
-    def result(self) -> BatchResult:
+    def result(self, *, materialize_labels: bool = True) -> BatchResult:
+        """materialize_labels=False keeps the label arrays on device (for
+        the --eval_at_bucket path, where hists are computed in-graph and
+        the predicted masks never cross to the host)."""
+        to_host = np.asarray if materialize_labels else (lambda x: x)
         return BatchResult(
-            labels_r0=np.asarray(self.labels_r0_dev),
-            labels_agg=np.asarray(self.labels_agg_dev),
+            labels_r0=to_host(self.labels_r0_dev),
+            labels_agg=to_host(self.labels_agg_dev),
             num_classes=self.num_classes,
             bg_enable=self.bg_enable,
             maps_r0=(None if self.maps_r0_dev is None

@@ -79,9 +79,30 @@ def test_cli_end_to_end_and_resume(fake_voc, tmp_path):
 def test_cli_device_eval_mode(fake_voc, tmp_path):
     out = str(tmp_path / "out_bucket")
     _run(fake_voc, out, ["--eval_at_bucket"])
-    hist_dir = os.path.join(out, "hist_withfiltered_caption")
+    # Bucket-res hists are tagged so they can't be mixed with exact-GT-res
+    # hists by an offline aggregator.
+    hist_dir = os.path.join(out, "hist_withfiltered_caption_bucket32")
     files = sorted(os.listdir(hist_dir))
     assert len(files) == 5
     h = np.load(os.path.join(hist_dir, files[0]))
     assert h.shape == (21, 21)
     assert h.sum() == 32 * 32  # bucket-resolution hist
+    # The on-device in-graph run total equals the sum of the per-image
+    # files (SURVEY §2.4 psum reduction plan).
+    total = np.load(os.path.join(out, "total_hist_r0_bucket32_rank0.npy"))
+    summed = sum(np.load(os.path.join(hist_dir, f)) for f in files)
+    np.testing.assert_array_equal(total, summed)
+
+
+def test_cli_device_eval_mode_mesh(fake_voc, tmp_path):
+    """Same run sharded over the 8-device CPU mesh: the in-graph (XLA-
+    reduced) total must equal both the per-image sum and the single-device
+    total."""
+    out = str(tmp_path / "out_bucket_mesh")
+    _run(fake_voc, out, ["--eval_at_bucket", "--mesh", "--batch_size", "8"])
+    hist_dir = os.path.join(out, "all_drop_hist_with_filtered_caption_bucket32")
+    files = sorted(os.listdir(hist_dir))
+    assert len(files) == 5
+    total = np.load(os.path.join(out, "total_hist_agg_bucket32_rank0.npy"))
+    summed = sum(np.load(os.path.join(hist_dir, f)) for f in files)
+    np.testing.assert_array_equal(total, summed)
