@@ -8,9 +8,11 @@ contrast). TPU-native differences:
 - the 12x12 GradCAM ensemble for all layers/heads is captured in ONE
   forward+backward per image (capture_layers=(0..11)) instead of the
   reference's cached per-config .npy sweep,
-- the CLIP scorer is pluggable; by default the BLIP ITC head scores the
-  masked crops (the reference loads LAVIS CLIP ViT-L-14-336, :1370-1372 —
-  pass --scorer clip and a converted checkpoint to mirror it exactly).
+- the reward model is the same independent CLIP ViT-L-14-336 the reference
+  loads (:1370-1372), as a Flax tower (models/clip.py) + from-scratch BPE
+  tokenizer (text/bpe.py); pass --clip_checkpoint/--clip_bpe for real
+  weights. --scorer itc instead scores with the BLIP ITC head — a
+  no-extra-checkpoint fallback (self-referential reward).
 """
 
 from __future__ import annotations
@@ -83,6 +85,44 @@ def make_itc_scorer(model, params, *, batch: int = 16):
     return scorer
 
 
+def make_clip_scorer(clip_model, clip_params, bpe_tok, *,
+                     image_size: int = 336, context_length: int = 77):
+    """Independent CLIP reward scorer (reference :1370-1372, :156-175).
+
+    (images [N, H, W, 3] CLIP-normalised, texts) -> probs [N, len(texts)]:
+    softmax over classes of (img_embed @ text_embed.T) / 0.01.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pnp_ovss_tpu.ops.resize import resize_bilinear_align_corners
+
+    @jax.jit
+    def _embed(p, images, ids):
+        from pnp_ovss_tpu.models.clip import CLIPModel
+
+        img_z = clip_model.apply(p, images, method=CLIPModel.encode_image)
+        txt_z = clip_model.apply(p, ids, method=CLIPModel.encode_text)
+        return img_z, txt_z
+
+    def scorer(images: np.ndarray, texts: List[str]) -> np.ndarray:
+        if images.shape[1] != image_size:
+            images = np.asarray(jax.vmap(
+                lambda im: resize_bilinear_align_corners(
+                    jnp.transpose(im, (2, 0, 1)), image_size, image_size
+                )
+            )(jnp.asarray(images))).transpose(0, 2, 3, 1)
+        ids = bpe_tok.encode_batch(texts, context_length)
+        img_z, txt_z = _embed(
+            clip_params, jnp.asarray(images, jnp.float32), jnp.asarray(ids)
+        )
+        sims = np.asarray(img_z) @ np.asarray(txt_z).T / 0.01  # temp :170
+        e = np.exp(sims - sims.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    return scorer
+
+
 def run_search(
     score_fn,
     *,
@@ -122,6 +162,15 @@ def main(argv=None):
     p.add_argument("--img_size", type=int, default=336)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--vocab", default=None)
+    # Independent reward model (reference loads CLIP ViT-L-14-336,
+    # :1370-1372). "itc" scores with the BLIP ITC head instead — a
+    # no-extra-checkpoint fallback, but self-referential (the model then
+    # scores its own attention maps).
+    p.add_argument("--scorer", default="clip", choices=["clip", "itc"])
+    p.add_argument("--clip_checkpoint", default=None,
+                   help="OpenAI CLIP ViT-L/14-336px .pt for --scorer clip")
+    p.add_argument("--clip_bpe", default=None,
+                   help="CLIP bpe_simple_vocab_16e6.txt.gz path")
     args = p.parse_args(argv)
 
     import jax
@@ -211,7 +260,37 @@ def main(argv=None):
             gc.shape[0], gc.shape[2], k, cfg.vit.grid, cfg.vit.grid
         ), cap.class_names[0], clip_img)
 
-    itc_scorer = make_itc_scorer(model, params)
+    if args.scorer == "clip":
+        from pnp_ovss_tpu.config import CLIPConfig
+        from pnp_ovss_tpu.models.clip import CLIPModel, init_clip_params
+        from pnp_ovss_tpu.text.bpe import CLIPBPETokenizer
+
+        if args.clip_checkpoint:
+            clip_cfg = CLIPConfig()
+            from pnp_ovss_tpu.models.convert import load_clip_checkpoint
+
+            clip_params = load_clip_checkpoint(args.clip_checkpoint, clip_cfg)
+        else:
+            log("WARNING: --scorer clip without --clip_checkpoint; tiny "
+                "random CLIP (machinery smoke run only)")
+            clip_cfg = CLIPConfig.tiny()
+            clip_params = init_clip_params(jax.random.PRNGKey(1), clip_cfg)
+        if args.clip_bpe:
+            bpe = CLIPBPETokenizer.from_merges_file(args.clip_bpe)
+        else:
+            words = [w for n in meta.nms for w in n.replace(",", " ").split()]
+            bpe = CLIPBPETokenizer.toy(words)
+        clip_model = CLIPModel(clip_cfg)
+        scorer = make_clip_scorer(
+            clip_model, clip_params, bpe,
+            image_size=clip_cfg.vision.image_size,
+            context_length=clip_cfg.text.context_length,
+        )
+    else:
+        itc_scorer = make_itc_scorer(model, params)
+
+        def scorer(images, texts):
+            return itc_scorer(images, texts, tok, cfg.max_text_len)
 
     def gradcam_provider(layer, head):
         for img_id, (pooled, names, img) in cache.items():
@@ -224,9 +303,6 @@ def main(argv=None):
                 yield img_id, (maps[top : top + 1], [names[top]], img)
             else:
                 yield img_id, (maps, names, img)
-
-    def scorer(images, texts):
-        return itc_scorer(images, texts, tok, cfg.max_text_len)
 
     evaluator = RewardEvaluator(
         gradcam_provider, scorer,

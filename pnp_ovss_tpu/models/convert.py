@@ -176,6 +176,91 @@ def convert_state_dict(
     return {"params": p}
 
 
+def convert_clip_state_dict(sd: Dict[str, "object"], cfg) -> Dict:
+    """OpenAI CLIP state_dict -> models/clip.CLIPModel flax params.
+
+    Accepts the canonical OpenAI CLIP layout (ViT-L/14-336px .pt — the
+    model the reference loads through LAVIS as `clip_feature_extractor
+    ViT-L-14-336`, driver :1370-1372): `visual.*` vision tower with fused
+    `attn.in_proj_*`, `transformer.resblocks.*` text tower,
+    `token_embedding` / `positional_embedding` / `ln_final` /
+    `text_projection`.
+    """
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+
+    def dense(prefix):
+        return {"kernel": sd[prefix + ".weight"].T,
+                "bias": sd[prefix + ".bias"]}
+
+    def norm(prefix):
+        return {"scale": sd[prefix + ".weight"],
+                "bias": sd[prefix + ".bias"]}
+
+    def block(prefix):
+        return {
+            "ln_1": norm(prefix + ".ln_1"),
+            # torch MHA fuses q/k/v as in_proj [3W, W]; flax Dense kernel
+            # is [W, 3W].
+            "qkv": {
+                "kernel": sd[prefix + ".attn.in_proj_weight"].T,
+                "bias": sd[prefix + ".attn.in_proj_bias"],
+            },
+            "proj": dense(prefix + ".attn.out_proj"),
+            "ln_2": norm(prefix + ".ln_2"),
+            "c_fc": dense(prefix + ".mlp.c_fc"),
+            "c_proj": dense(prefix + ".mlp.c_proj"),
+        }
+
+    def stack(prefix, n):
+        return {"block": _stack_trees(
+            [block(f"{prefix}.resblocks.{i}") for i in range(n)]
+        )}
+
+    v = cfg.vision
+    pos = sd["visual.positional_embedding"][None]  # [1, N+1, W]
+    if pos.shape[1] - 1 != v.num_patches:
+        import jax.numpy as jnp
+
+        from pnp_ovss_tpu.models.vit import interpolate_pos_embed
+
+        pos = np.asarray(
+            interpolate_pos_embed(jnp.asarray(pos), v.num_patches)
+        )
+    visual = {
+        "patch_embed": {
+            "kernel": sd["visual.conv1.weight"].transpose(2, 3, 1, 0)
+        },
+        "class_embedding": sd["visual.class_embedding"],
+        "pos_embed": pos[0],
+        "ln_pre": norm("visual.ln_pre"),
+        "blocks": stack("visual.transformer", v.num_layers),
+        "ln_post": norm("visual.ln_post"),
+        "proj": sd["visual.proj"],
+    }
+    text = {
+        "token_embedding": {"embedding": sd["token_embedding.weight"]},
+        "pos_embed": sd["positional_embedding"],
+        "blocks": stack("transformer", cfg.text.num_layers),
+        "ln_final": norm("ln_final"),
+        "text_projection": sd["text_projection"],
+    }
+    return {"params": {"visual": visual, "text": text}}
+
+
+def load_clip_checkpoint(path: str, cfg) -> Dict:
+    """Load an OpenAI CLIP .pt checkpoint (jit archive or state dict)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        sd = obj.state_dict()
+    else:
+        sd = obj.get("state_dict", obj.get("model", obj))
+    sd = {k: v.float().numpy() if hasattr(v, "numpy") else v
+          for k, v in sd.items()}
+    return convert_clip_state_dict(sd, cfg)
+
+
 def load_torch_checkpoint(
     path: str, cfg: ModelConfig, capture_layers: tuple = (7,)
 ) -> Dict:
