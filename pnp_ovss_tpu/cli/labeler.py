@@ -126,7 +126,8 @@ def label_dataset(
         with open(rec.image_path, "rb") as f:
             image_b64 = base64.b64encode(f.read()).decode("ascii")
 
-        result: Optional[str] = None
+        _PENDING = object()  # distinguishes "never succeeded" from None
+        result = _PENDING
         for attempt in range(max_retries):
             try:
                 result = request_fn(image_b64, prompt)
@@ -140,10 +141,18 @@ def label_dataset(
                 break
             except Exception:
                 sleep_fn(retry_sleep_s)
-        if result is None:  # exhausted retries
+        if result is _PENDING:  # exhausted retries
             result = ""
             _append_error(
                 os.path.join(output_dir, "no_output_idx.json"), rec.gpt_key
+            )
+        elif not isinstance(result, str):
+            # The request "succeeded" but returned no usable content — the
+            # reference logs these to a second failure file
+            # (gpt_rewrite_label.py:276-316 no_return.json).
+            result = ""
+            _append_error(
+                os.path.join(output_dir, "no_return.json"), rec.gpt_key
             )
         _merge_write(out_path, {rec.gpt_key: result})
         produced[rec.gpt_key] = result

@@ -84,6 +84,11 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="save per-image classification pred/true vectors "
                         "(reference Record_classification_prediction, "
                         "driver :958-986)")
+    p.add_argument("--viz_ids", default=None,
+                   help="comma-separated image ids: dump attention overlays"
+                        " and pred-vs-GT renders under {save_path}/viz/ "
+                        "(reference debug-image list, driver :330-341, "
+                        "Draw_Segmentation_map :790-807)")
     p.add_argument("--in_the_wild", action="store_true")
     p.add_argument("--wild_dir", default=None,
                    help="directory of images for --in_the_wild")
@@ -305,9 +310,10 @@ def main(argv=None):
     logger = MetricLogger()
     bs = cfg.batch_size
     parity = args.postprocess_backend == "host"
+    viz_set = set(args.viz_ids.split(",")) if args.viz_ids else set()
     loader = PrefetchLoader(
         records, batch_size=bs, img_size=cfg.img_size, bucket=runner.bucket,
-        keep_raw=parity, gt_at_bucket=args.eval_at_bucket,
+        keep_raw=parity or bool(viz_set), gt_at_bucket=args.eval_at_bucket,
     )
     hist_fn = runner.make_hist_fn(n_class) if args.eval_at_bucket else None
     if args.eval_at_bucket:
@@ -320,9 +326,39 @@ def main(argv=None):
             # axis of `hists` is sharded and XLA reduces across devices.
             return total + (hists * w[:, None, None]).sum(axis=0)
 
+    def maybe_dump_viz(batch, res, class_idx_lists):
+        """Debug artifacts for --viz_ids images (reference :330-341,
+        :790-807): per-class attention overlays + pred/GT renders."""
+        from pnp_ovss_tpu.data.transforms import resize_rgb
+        from pnp_ovss_tpu.utils import viz
+
+        for i, rec in enumerate(batch.records):
+            if rec.img_id not in viz_set:
+                continue
+            idxs = class_idx_lists[i]
+            cat_ids = meta.category_ids[idxs]
+            names = [meta.nms[j] for j in idxs]
+            gt = batch.gts[i]
+            h, w = gt.shape[:2]
+            image01 = (
+                resize_rgb(
+                    batch.raw_images[i].astype(np.float32), (h, w)
+                ) / 255.0
+            )
+            pred = runner.finalize_image(
+                np.asarray(res.labels_agg[i]), cat_ids, (h, w)
+            )
+            maps = np.asarray(res.maps_agg[i][: len(names)])
+            viz.dump_debug_artifacts(
+                args.save_path, rec.img_id, image01, maps, names, pred,
+                gt_labels=gt.astype(np.int32),
+            )
+
     def finalize_batch(batch, res, cap, class_idx_lists):
         """Host resize/remap/hist for one batch (runs in a worker thread so
         the next batch's device work overlaps it)."""
+        if viz_set:
+            maybe_dump_viz(batch, res, class_idx_lists)
         if args.eval_at_bucket:
             nb = len(batch.records)
             tables = np.zeros((bs, cfg.max_classes + 2), np.int32)
@@ -447,8 +483,10 @@ def main(argv=None):
                 [batch.rgb_bucket] + [batch.rgb_bucket[-1:]] * pad
             )
             t_sub = time.perf_counter()
-            pending_batch = runner.submit_batch(images_np, cap, rgbs_np,
-                                                return_maps=parity)
+            pending_batch = runner.submit_batch(
+                images_np, cap, rgbs_np,
+                return_maps=parity or bool(viz_set),
+            )
             logger.update(host_s=t_sub - t0)
 
             if in_flight is not None:

@@ -94,6 +94,18 @@ def test_cli_device_eval_mode(fake_voc, tmp_path):
     np.testing.assert_array_equal(total, summed)
 
 
+def test_cli_viz_ids(fake_voc, tmp_path):
+    out = str(tmp_path / "out_viz")
+    _run(fake_voc, out, ["--viz_ids", "2007_000001,2007_000003"])
+    viz_dir = os.path.join(out, "viz")
+    files = set(os.listdir(viz_dir))
+    for img_id in ("2007_000001", "2007_000003"):
+        assert f"seg_{img_id}.jpeg" in files
+        assert f"gt_{img_id}.jpeg" in files
+        assert f"attn_{img_id}_dog.jpeg" in files
+    assert not any("2007_000000" in f for f in files)
+
+
 def test_cli_device_eval_mode_mesh(fake_voc, tmp_path):
     """Same run sharded over the 8-device CPU mesh: the in-graph (XLA-
     reduced) total must equal both the per-image sum and the single-device
