@@ -60,6 +60,12 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="bert-base-uncased vocab.txt path")
     p.add_argument("--bucket_size", type=int, default=224,
                    help="device postprocess resolution")
+    p.add_argument("--crf_mode", default=None,
+                   choices=["strided", "nystrom"],
+                   help="device-CRF bilateral approximation (default: "
+                        "config nystrom; see ops/crf.py)")
+    p.add_argument("--crf_subsample", type=int, default=None,
+                   help="bilateral anchor-grid stride (1 = exact)")
     p.add_argument("--max_classes", type=int, default=28)
     p.add_argument("--attn_impl", default="pallas",
                    choices=["pallas", "xla"])
@@ -163,13 +169,18 @@ def build_config(args) -> "PipelineConfig":
         vit=ViTConfig(image_size=args.img_size),
         max_text_len=args.max_txt_len,
     )
+    post_kw = {}
+    if args.crf_mode is not None:
+        post_kw["bilateral_mode"] = args.crf_mode
+    if args.crf_subsample is not None:
+        post_kw["bilateral_subsample"] = args.crf_subsample
     return PipelineConfig(
         model=model,
         attribution=AttributionConfig(
             layer=args.max_att_block_num, head=args.prune_att_head
         ),
         drop=DropConfig(num_rounds=args.drop_iter),
-        postprocess=PostprocessConfig(mode=args.postprocess),
+        postprocess=PostprocessConfig(mode=args.postprocess, **post_kw),
         data_type=args.data_type,
         batch_size=args.batch_size,
         threshold=args.threshold,

@@ -233,12 +233,19 @@ class PostprocessConfig:
     # "device": batched on-device path at a bucketed resolution (fast mode).
     backend: str = "device"
     # Bilateral message support stride for the device CRF (1 = exact;
-    # s > 1 = strided quadrature, ~s^2 less work; see ops/crf.py).
-    # s=4: identical labels on structured and realistic synthetic inputs
-    # (tests/test_crf.py; sigma_xy=50 makes the kernel very smooth), ~88%
-    # on pathological pure-noise texture (no worse than s=2); gate against
-    # real mIoU when checkpoint/datasets are available.
-    bilateral_subsample: int = 4
+    # s > 1 = grid anchors every s pixels; see ops/crf.py).
+    # "strided": rectangular quadrature over the anchor grid (N*M exps per
+    # iter). "nystrom": low-rank K_NA (K_AA+ridge)^-1 K_AN reconstruction
+    # through the same anchors (2*N*M exps; every pixel's colour
+    # represented). Default nystrom s=8: measured CLOSER to the exact CRF
+    # than the round-1 default (strided s=4) on every synthetic scene
+    # tested — identical on structured scenes, +3 points label agreement
+    # on photo-like textures (tests/test_crf.py gates) — at HALF the
+    # kernel-eval cost (2N*M/64 vs N*M/16). Real-data mIoU gate:
+    # scripts/run_accuracy_gate.sh (assets not in this environment).
+    bilateral_subsample: int = 8
+    bilateral_mode: str = "nystrom"
+    nystrom_ridge: float = 1e-2
 
 
 @dataclasses.dataclass(frozen=True)

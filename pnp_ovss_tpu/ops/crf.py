@@ -88,27 +88,55 @@ def mean_field_crf(
     logits: jax.Array,  # [C, H, W] mask maps (pre-softmax, reference :1057)
     image_rgb: jax.Array,  # [H, W, 3] 0-255
     cfg: CRFConfig,
+    **kw,
+) -> jax.Array:
+    """Single-variant mean-field inference; returns labels [H, W] int32."""
+    return mean_field_crf_variants(logits[None], image_rgb, cfg, **kw)[0]
+
+
+def mean_field_crf_variants(
+    logits: jax.Array,  # [V, C, H, W]: V unary variants, shared image
+    image_rgb: jax.Array,  # [H, W, 3] 0-255
+    cfg: CRFConfig,
     *,
     exclude_self: bool = False,
     bilateral_impl: str = "pallas",  # "pallas" | "reference"
     unary_clip: float = 1e-5,
     bilateral_subsample: int = 1,
+    bilateral_mode: str = "strided",  # "strided" | "nystrom"
+    nystrom_ridge: float = 1e-2,
 ) -> jax.Array:
-    """Run mean-field inference; returns label map [H, W] int32.
+    """Mean-field inference for V unary variants over ONE image at once;
+    returns label maps [V, H, W] int32.
+
+    The pipeline runs the CRF twice per image (round-0 and aggregated
+    variants, same RGB). The kernels, degrees and anchor inverse depend
+    only on the image, and the fused bilateral matmul pads its value
+    lanes to 128 anyway (C ~ 29), so stacking the variants' channels into
+    one [N, V*C] value matrix makes V=2 cost the SAME bilateral work as
+    V=1 — the softmax is simply applied per C-sized block.
 
     ``bilateral_subsample`` s > 1 restricts the bilateral message support
-    to a strided pixel subset (every s-th pixel in x and y): the
-    Gaussian kernel is smooth in feature space so the strided quadrature
-    approximates the full sum at 1/s^2 the cost, and the symmetric
-    normalisation makes the message scale-invariant to the subsampling
-    (both K(nQ) and the degrees shrink together).
+    to a strided pixel subset (every s-th pixel in x and y). Two modes:
+
+    - "strided": quadrature — m = K_rect @ (n q) over the subset only.
+      The Gaussian kernel is smooth in feature space so the strided sum
+      approximates the full one at 1/s^2 the cost; colours that never
+      land on a grid point are unrepresented.
+    - "nystrom": low-rank reconstruction through the same grid anchors —
+      K ~= K_NA (K_AA + ridge I)^-1 K_AN. Every pixel's q contributes
+      (K_AN touches all N), so off-anchor colours are represented; cost
+      is 2 fused kernel matmuls per iteration (2*N*M exps vs the strided
+      N*M), making nystrom at stride s comparable to strided at s/sqrt(2)
+      in work but closer to exact in message quality.
     """
-    c, h, w = logits.shape
+    v, c, h, w = logits.shape
     n = h * w
 
-    q0 = jax.nn.softmax(logits.astype(jnp.float32), axis=0)
-    u = -jnp.log(jnp.clip(q0, unary_clip, 1.0))  # [C, H, W]
-    u_flat = u.reshape(c, n).T  # [N, C]
+    q0 = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
+    u = -jnp.log(jnp.clip(q0, unary_clip, 1.0))  # [V, C, H, W]
+    # [N, V*C] layout: pixel-major rows, variant blocks along the lanes.
+    u_flat = u.reshape(v * c, n).T
 
     feats_bi = bilateral_features(image_rgb, cfg.bi_xy_std, cfg.bi_rgb_std)
 
@@ -137,9 +165,39 @@ def mean_field_crf(
                 fi, v, fj if fj is not None else None
             )
 
+    use_nystrom = bilateral_mode == "nystrom" and s > 1
+    if use_nystrom:
+        # Anchor Gram matrix (M x M, M ~ (H/s)(W/s): small) + ridge, solved
+        # by Cholesky once; each iteration applies K_NA chol_solve(K_AN .).
+        fa = feats_bi_j
+        d2 = (
+            jnp.sum(fa * fa, -1)[:, None]
+            + jnp.sum(fa * fa, -1)[None, :]
+            - 2.0 * fa @ fa.T
+        )
+        k_aa = jnp.exp(-0.5 * jnp.maximum(d2, 0.0))
+        m_a = k_aa.shape[0]
+        # Materialise (K_AA + ridge I)^-1 ONCE: TPU triangular solves are
+        # row-sequential and slow, so one M-rhs solve beats a per-iteration
+        # C-rhs solve by ~the iteration count; afterwards each application
+        # is a plain MXU matmul.
+        chol = jax.scipy.linalg.cho_factor(
+            k_aa + nystrom_ridge * jnp.eye(m_a, dtype=jnp.float32)
+        )
+        k_aa_inv = jax.scipy.linalg.cho_solve(
+            chol, jnp.eye(m_a, dtype=jnp.float32)
+        )
+
+        def bilateral_apply(v_flat):  # [N, C] -> [N, C]
+            y = kernel_matmul(fa, v_flat, feats_bi)  # K_AN @ v
+            z = jnp.dot(k_aa_inv, y, preferred_element_type=jnp.float32)
+            return kernel_matmul(feats_bi, z, fa)  # K_NA @ z
+    else:
+        def bilateral_apply(v_flat):
+            return kernel_matmul(feats_bi, take_j(v_flat), feats_bi_j)
+
     # Degrees / symmetric normalisers (constant across iterations).
-    ones_j = jnp.ones((feats_bi_j.shape[0], 1), jnp.float32)
-    deg_bi = kernel_matmul(feats_bi, ones_j, feats_bi_j)
+    deg_bi = bilateral_apply(jnp.ones((n, 1), jnp.float32))
     if exclude_self:
         deg_bi = deg_bi - 1.0
     norm_bi = jax.lax.rsqrt(jnp.maximum(deg_bi, 1e-20))
@@ -150,26 +208,27 @@ def mean_field_crf(
         deg_sp = deg_sp - 1.0
     norm_sp = jax.lax.rsqrt(jnp.maximum(deg_sp, 1e-20))  # [H, W]
 
-    def spatial_apply_flat(q_flat):  # [N, C] -> [N, C]
-        q_img = q_flat.T.reshape(c, h, w)
+    def spatial_apply_flat(q_flat):  # [N, V*C] -> [N, V*C]
+        q_img = q_flat.T.reshape(v * c, h, w)
         out = spatial_gaussian_apply(q_img, cfg.pos_xy_std)
-        return out.reshape(c, n).T
+        return out.reshape(v * c, n).T
 
     norm_sp_flat = norm_sp.reshape(n, 1)
 
     def body(_, q_flat):
-        # Bilateral: n_i * K_rect @ (n_j * q_j) over the (possibly
-        # subsampled) j support.
-        m_bi = norm_bi * kernel_matmul(
-            feats_bi, take_j(norm_bi * q_flat), feats_bi_j
-        )
+        # Bilateral: n_i * K~(n_j * q_j) where K~ is the exact rectangular
+        # kernel (strided) or the Nystrom reconstruction.
+        m_bi = norm_bi * bilateral_apply(norm_bi * q_flat)
         if exclude_self:
             m_bi = m_bi - (norm_bi * norm_bi) * q_flat
         m_sp = _normalised_apply(
             spatial_apply_flat, q_flat, norm_sp_flat, exclude_self
         )
         energy = -u_flat + cfg.bi_w * m_bi + cfg.pos_w * m_sp
-        return jax.nn.softmax(energy, axis=-1)
+        # Mean-field softmax runs per variant block.
+        energy = energy.reshape(n, v, c)
+        return jax.nn.softmax(energy, axis=-1).reshape(n, v * c)
 
-    q = jax.lax.fori_loop(0, cfg.num_iters, body, q0.reshape(c, n).T)
-    return jnp.argmax(q, axis=-1).astype(jnp.int32).reshape(h, w)
+    q = jax.lax.fori_loop(0, cfg.num_iters, body, q0.reshape(v * c, n).T)
+    labels = jnp.argmax(q.reshape(n, v, c), axis=-1).astype(jnp.int32)
+    return labels.T.reshape(v, h, w)

@@ -202,20 +202,23 @@ class SegmentationRunner:
         )
         return self._finish_maps(gc0, agg, pool_matrix)
 
-    def _post_fn(self, maps, bg_enable, class_valid, images_rgb):
-        """maps [B,K,Hb,Wb]; bg_enable [B] bool; class_valid [B,K] bool;
-        images_rgb [B or B/2, Hb, Wb, 3] 0-255 -> labels [B,Hb,Wb].
+    def _post_fn(self, maps_r0, maps_agg, bg_enable, class_valid,
+                 images_rgb):
+        """maps_* [B,K,Hb,Wb]; bg_enable [B] bool; class_valid [B,K] bool;
+        images_rgb [B, Hb, Wb, 3] 0-255 -> labels [B, 2, Hb, Wb]
+        (variant axis: 0 = round-0, 1 = aggregated).
 
-        When maps batch is twice the rgb batch (the fused r0+agg call),
-        the rgb/bg/valid inputs are tiled on device — transferred once."""
+        Both variants of each image run through ONE CRF kernel pass
+        (mean_field_crf_variants): the bilateral matmul pads its value
+        lanes to 128 and C ~ 29, so the second variant's channels ride
+        along for free, and the image-dependent kernels/degrees/anchor
+        inverse are computed once per image instead of twice. The [B, 2,
+        ...] layout keeps each image's pair on one device under a mesh."""
         cfg = self.cfg
-        b, k, hb, wb = maps.shape
-        if images_rgb.shape[0] * 2 == b:
-            images_rgb = jnp.concatenate([images_rgb, images_rgb], axis=0)
-            bg_enable = jnp.concatenate([bg_enable, bg_enable], axis=0)
-            class_valid = jnp.concatenate([class_valid, class_valid], axis=0)
-        maps = jnp.where(class_valid[:, :, None, None], maps, 0.0)
-        wbg = masks_mod.add_background(maps)  # [B, K+1, Hb, Wb]
+        maps = jnp.stack([maps_r0, maps_agg], axis=1)  # [B, 2, K, Hb, Wb]
+        b, _, k, hb, wb = maps.shape
+        maps = jnp.where(class_valid[:, None, :, None, None], maps, 0.0)
+        wbg = masks_mod.add_background(maps)  # [B, 2, K+1, Hb, Wb]
 
         mode = cfg.postprocess.mode
         if "blur" in mode:
@@ -229,20 +232,24 @@ class SegmentationRunner:
         chan_valid = jnp.concatenate(
             [bg_enable[:, None], class_valid], axis=1
         )  # [B, K+1]
-        wbg = jnp.where(chan_valid[:, :, None, None], wbg, _DISABLED)
+        wbg = jnp.where(chan_valid[:, None, :, None, None], wbg, _DISABLED)
 
         if "crf" in mode:
             crf_cfg = cfg.postprocess.crf
+            crf_kw = dict(
+                bilateral_impl=self.bilateral_impl,
+                bilateral_subsample=cfg.postprocess.bilateral_subsample,
+                bilateral_mode=cfg.postprocess.bilateral_mode,
+                nystrom_ridge=cfg.postprocess.nystrom_ridge,
+            )
 
             def one(args):
-                logits, img = args
-                return crf_mod.mean_field_crf(
-                    logits, img.astype(jnp.float32), crf_cfg,
-                    bilateral_impl=self.bilateral_impl,
-                    bilateral_subsample=cfg.postprocess.bilateral_subsample,
+                logits2, img = args
+                return crf_mod.mean_field_crf_variants(
+                    logits2, img.astype(jnp.float32), crf_cfg, **crf_kw
                 )
 
-            labels = jax.lax.map(one, (wbg, images_rgb))
+            labels = jax.lax.map(one, (wbg, images_rgb))  # [B, 2, Hb, Wb]
         else:
             labels = masks_mod.argmax_labels(wbg)
         # Channel indices fit in uint8 (K+1 <= 29): quarters the
@@ -298,18 +305,14 @@ class SegmentationRunner:
             args = mesh_mod.shard_batch(self.mesh, args)
         maps_r0, maps_agg = self._attribution(*args)
 
-        # One batched postprocess call for both variants (halves the fixed
-        # dispatch/compile cost; the CRF lax.map just sees 2B images).
+        # One postprocess call handles both variants per image (fused CRF
+        # kernel pass; shared per-image kernels and degrees).
         bg_j = jnp.asarray(bg_enable)
         valid_j = jnp.asarray(caption_batch.class_valid)
         # uint8 RGB transfer (cast to f32 on device inside the CRF).
         rgb_j = jnp.asarray(np.asarray(images_rgb_bucket, np.uint8))
-        b = maps_r0.shape[0]
-        labels_both = self._post(
-            jnp.concatenate([maps_r0, maps_agg], axis=0),
-            bg_j, valid_j, rgb_j,
-        )
-        labels_r0, labels_agg = labels_both[:b], labels_both[b:]
+        labels_both = self._post(maps_r0, maps_agg, bg_j, valid_j, rgb_j)
+        labels_r0, labels_agg = labels_both[:, 0], labels_both[:, 1]
         return PendingBatch(
             labels_r0_dev=labels_r0,
             labels_agg_dev=labels_agg,

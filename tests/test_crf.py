@@ -137,6 +137,75 @@ def test_bilateral_pallas_matches_reference_interpret():
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
+def _scene_textured(rng, h, w):
+    """Photo-like synthetic: smooth gradients + mid-frequency texture —
+    the hardest realistic case for anchor-based bilateral approximations
+    (colours vary everywhere, so off-anchor colours matter)."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    image = np.stack([
+        120 + 60 * np.sin(xx / 9.0) + 40 * (yy / h),
+        100 + 50 * np.cos(yy / 7.0) + 30 * (xx / w),
+        90 + 45 * np.sin((xx + yy) / 11.0),
+    ], -1)
+    image += rng.randn(h, w, 3) * 12
+    image = np.clip(image, 0, 255).astype(np.float32)
+    logits = rng.randn(4, h, w).astype(np.float32) * 0.5
+    logits[0, : h // 2] += 0.8
+    logits[1, h // 2 :] += 0.8
+    blob = ((yy - h * 0.6) ** 2 + (xx - w * 0.7) ** 2) < (h // 4) ** 2
+    logits[2][blob] += 1.2
+    return image, logits
+
+
+def test_nystrom_dominates_strided_at_half_cost():
+    """The shipping default (nystrom s=8, 2NM/64 exps) must be at least as
+    close to the exact CRF as the round-1 default (strided s=4, NM/16
+    exps) on photo-like textures, and essentially exact on structured
+    scenes. Reference CRF constants (driver :1036-1041)."""
+    cfg = CRFConfig(num_iters=10)  # reference constants
+    h, w = 64, 64
+    ny_scores, st_scores = [], []
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        image, logits = _scene_textured(rng, h, w)
+
+        def run(**kw):
+            return np.asarray(mean_field_crf(
+                jnp.asarray(logits), jnp.asarray(image), cfg,
+                bilateral_impl="reference", **kw))
+
+        exact = run(bilateral_subsample=1)
+        ny_scores.append(
+            (run(bilateral_subsample=8, bilateral_mode="nystrom") == exact)
+            .mean()
+        )
+        st_scores.append(
+            (run(bilateral_subsample=4) == exact).mean()
+        )
+    assert np.mean(ny_scores) >= np.mean(st_scores) - 0.005, (
+        ny_scores, st_scores
+    )
+    assert np.mean(ny_scores) > 0.9, ny_scores
+
+    # Structured scene: the default must agree with exact almost perfectly.
+    rng = np.random.RandomState(5)
+    image = np.zeros((h, w, 3), np.float32)
+    image[:, : w // 2] = [200, 40, 40]
+    image[:, w // 2 :] = [40, 40, 200]
+    image += rng.randn(h, w, 3) * 5
+    logits = rng.randn(3, h, w).astype(np.float32) * 0.5
+    logits[0, :, : w // 2] += 1.5
+    logits[1, :, w // 2 :] += 1.5
+    exact = np.asarray(mean_field_crf(
+        jnp.asarray(logits), jnp.asarray(image), cfg,
+        bilateral_impl="reference", bilateral_subsample=1))
+    ny = np.asarray(mean_field_crf(
+        jnp.asarray(logits), jnp.asarray(image), cfg,
+        bilateral_impl="reference", bilateral_subsample=8,
+        bilateral_mode="nystrom"))
+    assert (ny == exact).mean() > 0.995, (ny == exact).mean()
+
+
 def test_subsampled_bilateral_close_to_exact():
     """Strided-support CRF labels ~= exact CRF labels on structured input."""
     rng = np.random.RandomState(5)
