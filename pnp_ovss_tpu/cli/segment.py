@@ -51,6 +51,12 @@ def get_args_parser() -> argparse.ArgumentParser:
                         "reference's NCCL process groups (ddp_setup :45-54)")
     p.add_argument("--mesh", action="store_true",
                    help="shard the batch over all local devices")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="with --mesh: Megatron-shard the model over an "
+                        "inner `model` mesh axis of this size (must divide "
+                        "the head counts: ViT 16 / BERT 12 -> 1, 2 or 4). "
+                        "Absent from the reference (SURVEY §2.4); useful "
+                        "for the 768px long-sequence path")
     p.add_argument("--max_txt_len", type=int, default=128,
                    help="static caption bucket (reference pads to 500)")
     # TPU-native knobs.
@@ -252,8 +258,14 @@ def main(argv=None):
     if args.mesh:
         from pnp_ovss_tpu.parallel import mesh as mesh_mod
 
-        mesh = mesh_mod.make_mesh()
-        log(f"data-parallel mesh over {mesh.devices.size} devices")
+        if args.tensor_parallel > 1:
+            mesh = mesh_mod.make_mesh_2d(args.tensor_parallel)
+            dp = mesh.devices.size // args.tensor_parallel
+            log(f"mesh over {mesh.devices.size} devices: "
+                f"data={dp} x model={args.tensor_parallel}")
+        else:
+            mesh = mesh_mod.make_mesh()
+            log(f"data-parallel mesh over {mesh.devices.size} devices")
 
     runner = SegmentationRunner(
         cfg, params, mesh=mesh, attn_impl=args.attn_impl,

@@ -1,23 +1,86 @@
 """COCO mask decoding without pycocotools (C extension).
 
 The reference depends on pycocotools for ``annToMask`` (coco driver
-:1095-1125). This module reimplements the needed subset in numpy:
+:1095-1125). This module implements the needed subset twice, mirroring
+pycocotools' own native/Python split:
 
-- compressed RLE strings (the LEB128-style ASCII format of the COCO API),
-- uncompressed RLE counts lists,
-- polygon rasterisation (even-odd scanline fill, matching COCO's
-  upper-left pixel-center convention closely enough for evaluation masks).
+- a C++ core (native/rle/rle.cc, loaded via ctypes, built on demand) —
+  the polygon rasteriser's per-row scanline loop is the hot part of COCO
+  ground-truth loading and runs ~100x faster native,
+- a pure-numpy fallback (the ``*_py`` functions below) used when the
+  toolchain is unavailable, and as the oracle the native path is
+  cross-tested against (tests/test_rle_native.py).
+
+Formats: compressed RLE strings (the LEB128-style ASCII format of the COCO
+API), uncompressed RLE counts lists, and polygon rasterisation (even-odd
+scanline fill at pixel centers, COCO's frPoly convention).
 """
 
 from __future__ import annotations
 
+import ctypes
+import functools
+import os
+import subprocess
 from typing import Dict, List, Sequence, Union
 
 import numpy as np
 
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native", "rle",
+)
 
-def decode_compressed_rle(rle_str: Union[str, bytes], h: int, w: int) -> np.ndarray:
-    """COCO compressed RLE string -> [H, W] uint8 mask (Fortran order)."""
+
+@functools.lru_cache(maxsize=1)
+def _lib():
+    so = os.path.join(_NATIVE_DIR, "librle.so")
+    if not os.path.exists(so):
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    lib = ctypes.CDLL(so)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i64 = ctypes.c_int64
+    i64p = ctypes.POINTER(i64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.rle_decode_string.argtypes = [ctypes.c_char_p, i64, i64, u8p]
+    lib.rle_decode_counts.argtypes = [i64p, i64, i64, i64, u8p]
+    lib.rle_rasterize_polygons.argtypes = [f64p, i64p, i64, i64, i64, u8p]
+    for f in (lib.rle_decode_string, lib.rle_decode_counts,
+              lib.rle_rasterize_polygons):
+        f.restype = ctypes.c_int
+    return lib
+
+
+def native_available() -> bool:
+    try:
+        _lib()
+        return True
+    except Exception:
+        return False
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def decode_compressed_rle(
+    rle_str: Union[str, bytes], h: int, w: int
+) -> np.ndarray:
+    """COCO compressed RLE string -> [H, W] uint8 mask."""
+    if native_available():
+        out = np.empty((h, w), np.uint8)
+        s = rle_str if isinstance(rle_str, bytes) else rle_str.encode("ascii")
+        rc = _lib().rle_decode_string(s, h, w, _u8p(out))
+        if rc == 0:
+            return out
+        raise ValueError("malformed compressed RLE string")
+    return _decode_compressed_rle_py(rle_str, h, w)
+
+
+def _decode_compressed_rle_py(
+    rle_str: Union[str, bytes], h: int, w: int
+) -> np.ndarray:
     if isinstance(rle_str, bytes):
         rle_str = rle_str.decode("ascii")
     counts: List[int] = []
@@ -38,10 +101,25 @@ def decode_compressed_rle(rle_str: Union[str, bytes], h: int, w: int) -> np.ndar
         if len(counts) > 2:
             x += counts[-2]
         counts.append(x)
-    return _counts_to_mask(counts, h, w)
+    return _counts_to_mask_py(counts, h, w)
 
 
 def _counts_to_mask(counts: Sequence[int], h: int, w: int) -> np.ndarray:
+    """Uncompressed column-major counts -> [H, W] uint8 mask."""
+    if native_available():
+        c = np.ascontiguousarray(counts, np.int64)
+        out = np.empty((h, w), np.uint8)
+        rc = _lib().rle_decode_counts(
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(c), h, w, _u8p(out),
+        )
+        if rc == 0:
+            return out
+        raise ValueError("RLE counts overflow the image area")
+    return _counts_to_mask_py(counts, h, w)
+
+
+def _counts_to_mask_py(counts: Sequence[int], h: int, w: int) -> np.ndarray:
     flat = np.zeros(h * w, np.uint8)
     pos = 0
     val = 0
@@ -53,12 +131,33 @@ def _counts_to_mask(counts: Sequence[int], h: int, w: int) -> np.ndarray:
     return flat.reshape(w, h).T  # column-major
 
 
-def rasterize_polygon(polys: Sequence[Sequence[float]], h: int, w: int) -> np.ndarray:
+def rasterize_polygon(
+    polys: Sequence[Sequence[float]], h: int, w: int
+) -> np.ndarray:
     """COCO polygon list [[x0,y0,x1,y1,...], ...] -> [H, W] uint8 mask.
 
     Even-odd scanline fill at pixel centers (x+0.5, y+0.5 convention of the
     COCO API's frPoly path).
     """
+    if native_available():
+        sizes = np.asarray([len(p) // 2 for p in polys], np.int64)
+        xy = np.concatenate(
+            [np.asarray(p[: 2 * n], np.float64) for p, n in zip(polys, sizes)]
+        ) if len(polys) else np.zeros(0, np.float64)
+        xy = np.ascontiguousarray(xy)
+        out = np.empty((h, w), np.uint8)
+        _lib().rle_rasterize_polygons(
+            xy.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(sizes), h, w, _u8p(out),
+        )
+        return out
+    return _rasterize_polygon_py(polys, h, w)
+
+
+def _rasterize_polygon_py(
+    polys: Sequence[Sequence[float]], h: int, w: int
+) -> np.ndarray:
     mask = np.zeros((h, w), np.uint8)
     for poly in polys:
         xs = np.asarray(poly[0::2], np.float64)
@@ -78,10 +177,13 @@ def rasterize_polygon(polys: Sequence[Sequence[float]], h: int, w: int) -> np.nd
             cross = x0s[cond] + t * (x1s[cond] - x0s[cond])
             cross.sort()
             for a, b in zip(cross[0::2], cross[1::2]):
-                lo = int(np.ceil(a - 0.5))
-                hi = int(np.floor(b - 0.5))
+                # Clamp BEFORE slicing: a span entirely left of the canvas
+                # has hi + 1 < 0, and a negative slice stop would wrap
+                # around and paint nearly the whole row.
+                lo = max(int(np.ceil(a - 0.5)), 0)
+                hi = min(int(np.floor(b - 0.5)), w - 1)
                 if hi >= lo:
-                    mask[y, max(lo, 0) : min(hi + 1, w)] ^= 1
+                    mask[y, lo : hi + 1] ^= 1
     return mask
 
 

@@ -107,7 +107,14 @@ class SegmentationRunner:
         bilateral_impl: str = "pallas",
     ):
         self.cfg = cfg
-        self.params = params
+        # Under a mesh, commit the weights with their partition specs up
+        # front: replicated on a 1D data mesh (the reference's DDP layout,
+        # driver :1218), Megatron column/row-sharded along the `model` axis
+        # of a 2D (data, model) mesh (parallel/mesh.py) — GSPMD propagates
+        # the head sharding through the attention from these specs alone.
+        self.params = (
+            params if mesh is None else mesh_mod.shard_params(mesh, params)
+        )
         self.mesh = mesh
         self.bucket = bucket_size
         self.bilateral_impl = bilateral_impl
