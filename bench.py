@@ -78,8 +78,12 @@ def main():
         np.float32
     )
 
+    # Representative GT sizes (VOC-like) for the CRF's GT-relative spatial
+    # rescaling — same compiled program and cost as any other scale.
+    gt_sizes = [(375, 500) if i % 2 else (500, 375) for i in range(batch)]
+
     # Warmup (compile).
-    res = runner.run_batch(images, cap, rgb)
+    res = runner.run_batch(images, cap, rgb, gt_sizes=gt_sizes)
     res.labels_agg.sum()
 
     # Double-buffered dispatch (as the CLI driver runs): submit batch N+1
@@ -88,7 +92,7 @@ def main():
     t0 = time.perf_counter()
     pending = None
     for _ in range(iters):
-        nxt = runner.submit_batch(images, cap, rgb)
+        nxt = runner.submit_batch(images, cap, rgb, gt_sizes=gt_sizes)
         if pending is not None:
             pending.result()
         pending = nxt

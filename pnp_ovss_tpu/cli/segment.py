@@ -72,6 +72,10 @@ def get_args_parser() -> argparse.ArgumentParser:
                         "config nystrom; see ops/crf.py)")
     p.add_argument("--crf_subsample", type=int, default=None,
                    help="bilateral anchor-grid stride (1 = exact)")
+    p.add_argument("--crf_xy_bucket_pixels", action="store_true",
+                   help="interpret the CRF spatial stds in raw bucket "
+                        "pixels instead of rescaling them per image to "
+                        "match the reference's GT-resolution reach")
     p.add_argument("--max_classes", type=int, default=28)
     p.add_argument("--attn_impl", default="pallas",
                    choices=["pallas", "xla"])
@@ -144,10 +148,12 @@ def run_in_the_wild(args, cfg, runner, tok, meta):
             max_text_len=cfg.model.max_text_len,
             max_classes=cfg.max_classes,
         )
+        sizes = [r.shape[:2] for r in raws]
         res = runner.run_batch(
             np.stack(imgs + [imgs[-1]] * pad),
             cap,
             np.stack(rgbs + [rgbs[-1]] * pad).astype(np.float32),
+            gt_sizes=sizes + [sizes[-1]] * pad,
         )
         for i, p in enumerate(chunk):
             name = os.path.splitext(os.path.basename(p))[0]
@@ -180,6 +186,8 @@ def build_config(args) -> "PipelineConfig":
         post_kw["bilateral_mode"] = args.crf_mode
     if args.crf_subsample is not None:
         post_kw["bilateral_subsample"] = args.crf_subsample
+    if args.crf_xy_bucket_pixels:
+        post_kw["crf_xy_gt_scale"] = False
     return PipelineConfig(
         model=model,
         attribution=AttributionConfig(
@@ -505,10 +513,16 @@ def main(argv=None):
             rgbs_np = np.concatenate(
                 [batch.rgb_bucket] + [batch.rgb_bucket[-1:]] * pad
             )
+            # Per-image GT sizes drive the CRF's GT-relative spatial
+            # rescaling (ops/crf.py xy_scale); padded rows reuse the last
+            # real image's size.
+            gt_sizes = [g.shape[:2] for g in batch.gts]
+            gt_sizes += [gt_sizes[-1]] * pad
             t_sub = time.perf_counter()
             pending_batch = runner.submit_batch(
                 images_np, cap, rgbs_np,
                 return_maps=parity or bool(viz_set),
+                gt_sizes=gt_sizes,
             )
             logger.update(host_s=t_sub - t0)
 

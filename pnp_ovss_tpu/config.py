@@ -236,16 +236,28 @@ class PostprocessConfig:
     # s > 1 = grid anchors every s pixels; see ops/crf.py).
     # "strided": rectangular quadrature over the anchor grid (N*M exps per
     # iter). "nystrom": low-rank K_NA (K_AA+ridge)^-1 K_AN reconstruction
-    # through the same anchors (2*N*M exps; every pixel's colour
-    # represented). Default nystrom s=8: measured CLOSER to the exact CRF
-    # than the round-1 default (strided s=4) on every synthetic scene
-    # tested — identical on structured scenes, +3 points label agreement
-    # on photo-like textures (tests/test_crf.py gates) — at HALF the
-    # kernel-eval cost (2N*M/64 vs N*M/16). Real-data mIoU gate:
-    # scripts/run_accuracy_gate.sh (assets not in this environment).
-    bilateral_subsample: int = 8
-    bilateral_mode: str = "nystrom"
+    # through the same anchors (2*N*M exps).
+    #
+    # Default strided s=4. Nystrom was briefly the default on small-scene
+    # (64-80px) evidence, but at the production bucket (224px) with
+    # photo-like RGB noise the bilateral kernel is near-diagonal (pixel
+    # colours differ from neighbours by ~2.4 srgb) and a ~1k-anchor
+    # low-rank reconstruction collapses: 0.35-0.45 label agreement vs the
+    # exact CRF, where strided quadrature holds 0.97-0.99 (measured on
+    # TPU, NOTES.md round-2 ledger). Strided s=4 = 98.0% agreement at
+    # NM/16 exps; s=2/s=3 buy +0.6-0.8 points at 4x/1.8x the exps
+    # (--crf_subsample). Real-data mIoU gate: scripts/run_accuracy_gate.sh
+    # (assets not in this environment); synthetic end-to-end gate:
+    # scripts/synthetic_postprocess_gate.py.
+    bilateral_subsample: int = 4
+    bilateral_mode: str = "strided"
     nystrom_ridge: float = 1e-2
+    # Scale the CRF's spatial stds per image by bucket / max(gt_h, gt_w)
+    # so the bucket-resolution CRF has the same RELATIVE spatial reach as
+    # the reference's exact-GT-resolution CRF (pixel-unit constants,
+    # driver :1036-1041). False = raw pixel units at the bucket (round-1
+    # behaviour; reaches ~2x further on a 500px image at bucket 224).
+    crf_xy_gt_scale: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

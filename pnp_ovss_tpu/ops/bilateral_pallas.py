@@ -34,10 +34,16 @@ _BIG = 1e30
 def _bilateral_kernel(f_i_ref, n_i_ref, f_j_ref, n_j_ref, v_j_ref, o_ref):
     """One (i, j) tile: o[i] += exp(F_i F_j^T - n_i - n_j) @ V_j.
 
-    The kernel matmul k @ V runs in bf16 on the MXU (2x the f32 rate on
-    v5e); k entries are in [0, 1] and V holds probabilities, so bf16's
-    ~3-decimal mantissa keeps message error ~1e-2 relative — far below the
-    mean-field fixed point's own tolerance. Accumulation stays f32.
+    The feature matmul F_i @ F_j^T sits in the EXPONENT, so it must run at
+    true f32 precision (Precision.HIGHEST -> the bf16x3 decomposition):
+    the MXU's default bf16 truncation puts O(||f||^2 * 2^-9) ~ O(10)
+    absolute error in the exponent at real bilateral scales (rgb/5 spans
+    0..51, so ||f||^2 ~ 8e3) — measured up to 1e9 relative kernel error
+    before this was pinned. The d2 matmul is K=8 deep, a rounding error of
+    the C-deep value matmul, so HIGHEST costs nothing. The kernel matmul
+    k @ V stays bf16 (2x the f32 MXU rate on v5e): k entries are in
+    [0, 1] and V holds probabilities, so message error is ~1e-3 relative.
+    Accumulation stays f32.
     """
     jb = pl.program_id(1)
 
@@ -47,7 +53,8 @@ def _bilateral_kernel(f_i_ref, n_i_ref, f_j_ref, n_j_ref, v_j_ref, o_ref):
 
     f_i = f_i_ref[:].astype(jnp.float32)
     s = jnp.dot(f_i, f_j_ref[:].astype(jnp.float32).T,
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     k = jnp.exp(s - n_i_ref[:].astype(jnp.float32)
                 - n_j_ref[:].astype(jnp.float32).T)
     o_ref[:] += jnp.dot(k.astype(jnp.bfloat16),
@@ -129,13 +136,18 @@ def gaussian_kernel_matmul(
 def gaussian_kernel_matmul_reference(
     features: jax.Array, values: jax.Array, features_j=None
 ):
-    """O(N*M)-memory jnp reference (tests / small inputs / CPU)."""
+    """O(N*M)-memory jnp reference (tests / small inputs / CPU).
+
+    The feature matmul runs at HIGHEST precision for the same reason as
+    the Pallas kernel: it feeds an exponent, and the TPU's default bf16
+    truncation is catastrophic at real feature magnitudes."""
     f = features.astype(jnp.float32)
     fj = f if features_j is None else features_j.astype(jnp.float32)
     d2 = (
         jnp.sum(f * f, -1)[:, None]
         + jnp.sum(fj * fj, -1)[None, :]
-        - 2 * f @ fj.T
+        - 2 * jnp.dot(f, fj.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     )
     k = jnp.exp(-0.5 * jnp.maximum(d2, 0.0))
     return k @ values.astype(jnp.float32)

@@ -41,18 +41,24 @@ from pnp_ovss_tpu.ops.bilateral_pallas import (
 
 
 @functools.lru_cache(maxsize=64)
-def _band_matrix_np(n: int, sigma: float) -> np.ndarray:
-    """[n, n] dense Gaussian kernel matrix exp(-(i-j)^2 / (2 sigma^2))."""
-    idx = np.arange(n, dtype=np.float64)
-    d = idx[:, None] - idx[None, :]
-    return np.exp(-0.5 * (d / sigma) ** 2).astype(np.float32)
+def _diff_matrix_np(n: int) -> np.ndarray:
+    """[n, n] index-difference matrix (i - j), float32."""
+    idx = np.arange(n, dtype=np.float32)
+    return idx[:, None] - idx[None, :]
 
 
-def spatial_gaussian_apply(q: jax.Array, sigma: float) -> jax.Array:
-    """K @ q for the separable 2D spatial Gaussian. q: [..., H, W]."""
+def spatial_gaussian_apply(q: jax.Array, sigma) -> jax.Array:
+    """K @ q for the separable 2D spatial Gaussian. q: [..., H, W].
+
+    ``sigma`` may be a Python float or a traced scalar (the per-image
+    GT-relative rescaling path); the kernel values are computed in-graph
+    from static index-difference matrices either way (H^2 + W^2 exps —
+    noise next to the N*M bilateral term).
+    """
     h, w = q.shape[-2:]
-    kh = jnp.asarray(_band_matrix_np(h, float(sigma)))
-    kw = jnp.asarray(_band_matrix_np(w, float(sigma)))
+    sigma = jnp.asarray(sigma, jnp.float32)
+    kh = jnp.exp(-0.5 * (jnp.asarray(_diff_matrix_np(h)) / sigma) ** 2)
+    kw = jnp.exp(-0.5 * (jnp.asarray(_diff_matrix_np(w)) / sigma) ** 2)
     y = jnp.einsum("ij,...jw->...iw", kh, q.astype(jnp.float32),
                    preferred_element_type=jnp.float32)
     return jnp.einsum("ij,...hj->...hi", kw, y,
@@ -60,10 +66,13 @@ def spatial_gaussian_apply(q: jax.Array, sigma: float) -> jax.Array:
 
 
 def bilateral_features(
-    image_rgb: jax.Array, sxy: float, srgb: float
+    image_rgb: jax.Array, sxy, srgb: float
 ) -> jax.Array:
-    """[H, W, 3] (0-255 RGB) -> [H*W, 5] scaled features."""
+    """[H, W, 3] (0-255 RGB) -> [H*W, 5] scaled features.
+
+    ``sxy`` may be a traced scalar (per-image GT-relative rescaling)."""
     h, w, _ = image_rgb.shape
+    sxy = jnp.asarray(sxy, jnp.float32)
     ys = jnp.arange(h, dtype=jnp.float32)[:, None] / sxy
     xs = jnp.arange(w, dtype=jnp.float32)[None, :] / sxy
     pos_y = jnp.broadcast_to(ys, (h, w))
@@ -105,6 +114,8 @@ def mean_field_crf_variants(
     bilateral_subsample: int = 1,
     bilateral_mode: str = "strided",  # "strided" | "nystrom"
     nystrom_ridge: float = 1e-2,
+    xy_scale=1.0,
+    materialize_kernel: "bool | None" = None,
 ) -> jax.Array:
     """Mean-field inference for V unary variants over ONE image at once;
     returns label maps [V, H, W] int32.
@@ -129,6 +140,16 @@ def mean_field_crf_variants(
       is 2 fused kernel matmuls per iteration (2*N*M exps vs the strided
       N*M), making nystrom at stride s comparable to strided at s/sqrt(2)
       in work but closer to exact in message quality.
+
+    ``xy_scale`` (float or traced scalar) multiplies BOTH spatial standard
+    deviations. The reference runs the CRF at ground-truth resolution with
+    pixel-unit constants (POS_XY_STD=3, Bi_XY_STD=50, driver :1036-1041);
+    at a fixed bucket resolution the same pixel counts reach ~2x further
+    relative to the image, silently changing the smoothing strength. The
+    runner passes xy_scale = bucket / max(gt_h, gt_w) so the kernels match
+    the reference's RELATIVE reach per image (measured on the synthetic
+    postprocess gate: unscaled bucket CRF drifts several mIoU points from
+    the exact-GT-resolution anchor).
     """
     v, c, h, w = logits.shape
     n = h * w
@@ -138,7 +159,11 @@ def mean_field_crf_variants(
     # [N, V*C] layout: pixel-major rows, variant blocks along the lanes.
     u_flat = u.reshape(v * c, n).T
 
-    feats_bi = bilateral_features(image_rgb, cfg.bi_xy_std, cfg.bi_rgb_std)
+    pos_xy_std = cfg.pos_xy_std * jnp.asarray(xy_scale, jnp.float32)
+    feats_bi = bilateral_features(
+        image_rgb, cfg.bi_xy_std * jnp.asarray(xy_scale, jnp.float32),
+        cfg.bi_rgb_std,
+    )
 
     s = bilateral_subsample
     if s > 1:
@@ -165,22 +190,59 @@ def mean_field_crf_variants(
                 fi, v, fj if fj is not None else None
             )
 
+    # Strided mode with a modest anchor count: materialise the [N, M]
+    # kernel ONCE (bf16, e.g. 315 MB at 224px/s=4) and amortise the exp
+    # evaluations over all mean-field iterations — each iteration is then
+    # a pure MXU matmul instead of N*M VPU exps. d2 via the f32 expansion
+    # is safe here (values ~1e2, f32 eps 1e-7; it was the *bf16* expansion
+    # that broke the nystrom Gram matrix), but the matmul must run at
+    # HIGHEST precision so the MXU does not truncate the operands.
+    if materialize_kernel is None:
+        materialize_kernel = (
+            bilateral_mode == "strided" and s > 1
+            and n * (-(-h // s)) * (-(-w // s)) <= 5e8  # ~1 GB bf16
+        )
+
     use_nystrom = bilateral_mode == "nystrom" and s > 1
-    if use_nystrom:
+    if materialize_kernel and not use_nystrom and s > 1:
+        x2 = jnp.sum(feats_bi * feats_bi, axis=-1)
+        d2 = (
+            x2[:, None]
+            + x2[grid_idx][None, :]
+            - 2.0 * jnp.dot(feats_bi, feats_bi_j.T,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+        )
+        k_mat = jnp.exp(-0.5 * jnp.maximum(d2, 0.0)).astype(jnp.bfloat16)
+
+        def bilateral_apply(v_flat):  # [N, C] -> [N, C]
+            return jnp.dot(
+                k_mat, take_j(v_flat).astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+    elif use_nystrom:
         # Anchor Gram matrix (M x M, M ~ (H/s)(W/s): small) + ridge, solved
         # by Cholesky once; each iteration applies K_NA chol_solve(K_AN .).
+        #
+        # d2 MUST come from explicit pairwise differences, NOT the
+        # ||a||^2 + ||b||^2 - 2 a.b expansion: adjacent anchors are a
+        # fraction of a std apart, the expansion cancels two ~1e2-sized
+        # terms, and on TPU the 2 fa@fa.T matmul truncates to bf16 —
+        # the resulting K_AA is not even PSD and Cholesky returns NaN
+        # (this exact failure shipped as 0%-agreement labels at 224px
+        # before the explicit form below pinned it).
         fa = feats_bi_j
-        d2 = (
-            jnp.sum(fa * fa, -1)[:, None]
-            + jnp.sum(fa * fa, -1)[None, :]
-            - 2.0 * fa @ fa.T
-        )
-        k_aa = jnp.exp(-0.5 * jnp.maximum(d2, 0.0))
+        diff = fa[:, None, :] - fa[None, :, :]  # [M, M, 5] exact f32
+        d2 = jnp.sum(diff * diff, axis=-1)
+        k_aa = jnp.exp(-0.5 * d2)
         m_a = k_aa.shape[0]
         # Materialise (K_AA + ridge I)^-1 ONCE: TPU triangular solves are
         # row-sequential and slow, so one M-rhs solve beats a per-iteration
         # C-rhs solve by ~the iteration count; afterwards each application
-        # is a plain MXU matmul.
+        # is a plain MXU matmul. K_AA is ill-conditioned (nearby anchors
+        # are near-duplicates), so the factorisation and the per-iteration
+        # projection both run at HIGHEST matmul precision — their FLOPs
+        # are noise next to the N*M kernel matmuls.
         chol = jax.scipy.linalg.cho_factor(
             k_aa + nystrom_ridge * jnp.eye(m_a, dtype=jnp.float32)
         )
@@ -190,7 +252,8 @@ def mean_field_crf_variants(
 
         def bilateral_apply(v_flat):  # [N, C] -> [N, C]
             y = kernel_matmul(fa, v_flat, feats_bi)  # K_AN @ v
-            z = jnp.dot(k_aa_inv, y, preferred_element_type=jnp.float32)
+            z = jnp.dot(k_aa_inv, y, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
             return kernel_matmul(feats_bi, z, fa)  # K_NA @ z
     else:
         def bilateral_apply(v_flat):
@@ -203,14 +266,14 @@ def mean_field_crf_variants(
     norm_bi = jax.lax.rsqrt(jnp.maximum(deg_bi, 1e-20))
 
     deg_sp = spatial_gaussian_apply(jnp.ones((h, w), jnp.float32),
-                                    cfg.pos_xy_std)
+                                    pos_xy_std)
     if exclude_self:
         deg_sp = deg_sp - 1.0
     norm_sp = jax.lax.rsqrt(jnp.maximum(deg_sp, 1e-20))  # [H, W]
 
     def spatial_apply_flat(q_flat):  # [N, V*C] -> [N, V*C]
         q_img = q_flat.T.reshape(v * c, h, w)
-        out = spatial_gaussian_apply(q_img, cfg.pos_xy_std)
+        out = spatial_gaussian_apply(q_img, pos_xy_std)
         return out.reshape(v * c, n).T
 
     norm_sp_flat = norm_sp.reshape(n, 1)

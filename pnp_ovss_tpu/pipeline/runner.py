@@ -210,10 +210,12 @@ class SegmentationRunner:
         return self._finish_maps(gc0, agg, pool_matrix)
 
     def _post_fn(self, maps_r0, maps_agg, bg_enable, class_valid,
-                 images_rgb):
+                 images_rgb, xy_scale):
         """maps_* [B,K,Hb,Wb]; bg_enable [B] bool; class_valid [B,K] bool;
-        images_rgb [B, Hb, Wb, 3] 0-255 -> labels [B, 2, Hb, Wb]
-        (variant axis: 0 = round-0, 1 = aggregated).
+        images_rgb [B, Hb, Wb, 3] 0-255; xy_scale [B] f32 (per-image
+        bucket/GT-size ratio scaling the CRF's spatial stds so the bucket
+        CRF matches the reference's GT-resolution reach, ops/crf.py) ->
+        labels [B, 2, Hb, Wb] (variant axis: 0 = round-0, 1 = aggregated).
 
         Both variants of each image run through ONE CRF kernel pass
         (mean_field_crf_variants): the bilateral matmul pads its value
@@ -251,12 +253,15 @@ class SegmentationRunner:
             )
 
             def one(args):
-                logits2, img = args
+                logits2, img, scale = args
                 return crf_mod.mean_field_crf_variants(
-                    logits2, img.astype(jnp.float32), crf_cfg, **crf_kw
+                    logits2, img.astype(jnp.float32), crf_cfg,
+                    xy_scale=scale, **crf_kw
                 )
 
-            labels = jax.lax.map(one, (wbg, images_rgb))  # [B, 2, Hb, Wb]
+            labels = jax.lax.map(
+                one, (wbg, images_rgb, xy_scale)
+            )  # [B, 2, Hb, Wb]
         else:
             labels = masks_mod.argmax_labels(wbg)
         # Channel indices fit in uint8 (K+1 <= 29): quarters the
@@ -273,10 +278,12 @@ class SegmentationRunner:
         images_rgb_bucket: np.ndarray,
         *,
         return_maps: bool = False,
+        gt_sizes=None,
     ) -> BatchResult:
         """Dispatch one batch and block for its results (see submit_batch)."""
         return self.submit_batch(
-            images, caption_batch, images_rgb_bucket, return_maps=return_maps
+            images, caption_batch, images_rgb_bucket,
+            return_maps=return_maps, gt_sizes=gt_sizes,
         ).result()
 
     def submit_batch(
@@ -286,7 +293,12 @@ class SegmentationRunner:
         images_rgb_bucket: np.ndarray,  # [B, Hb, Wb, 3] 0-255
         *,
         return_maps: bool = False,
+        gt_sizes: Optional[Sequence[Tuple[int, int]]] = None,
     ) -> PendingBatch:
+        """gt_sizes: per-image (H, W) of the ground truth / original image;
+        drives the CRF's GT-relative spatial rescaling (ops/crf.py
+        xy_scale). None = no rescale (bucket-pixel constants, the round-1
+        behaviour, also selectable via config crf_xy_gt_scale=False)."""
         cfg = self.cfg
         n = caption_batch.num_classes
         bg_enable = np.asarray(
@@ -318,7 +330,16 @@ class SegmentationRunner:
         valid_j = jnp.asarray(caption_batch.class_valid)
         # uint8 RGB transfer (cast to f32 on device inside the CRF).
         rgb_j = jnp.asarray(np.asarray(images_rgb_bucket, np.uint8))
-        labels_both = self._post(maps_r0, maps_agg, bg_j, valid_j, rgb_j)
+        b = images.shape[0]
+        if gt_sizes is not None and cfg.postprocess.crf_xy_gt_scale:
+            scale = np.asarray(
+                [self.bucket / max(h, w) for h, w in gt_sizes], np.float32
+            )
+        else:
+            scale = np.ones(b, np.float32)
+        labels_both = self._post(
+            maps_r0, maps_agg, bg_j, valid_j, rgb_j, jnp.asarray(scale)
+        )
         labels_r0, labels_agg = labels_both[:, 0], labels_both[:, 1]
         return PendingBatch(
             labels_r0_dev=labels_r0,

@@ -35,11 +35,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 DEVICE_GRID = [
     # (tag, bilateral_mode, subsample, bucket)
-    ("nystrom_s8_b224", "nystrom", 8, 224),  # shipping default
-    ("nystrom_s6_b224", "nystrom", 6, 224),
-    ("strided_s4_b224", "strided", 4, 224),
+    ("strided_s4_b224", "strided", 4, 224),  # shipping default
     ("strided_s2_b224", "strided", 2, 224),
-    ("nystrom_s8_b192", "nystrom", 8, 192),
+    ("strided_s3_b224", "strided", 3, 224),
+    ("strided_s4_b192", "strided", 4, 192),
 ]
 
 

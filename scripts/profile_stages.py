@@ -76,6 +76,8 @@ def main():
     bg = jnp.asarray(np.ones(batch, bool))
     valid = jnp.asarray(cap.class_valid)
     rgb_j = jnp.asarray(np.asarray(rgb, np.uint8))
+    # Representative GT-relative CRF scale (bucket / a typical 500px image).
+    xy = jnp.asarray(np.full(batch, runner.bucket / 500.0, np.float32))
 
     def timed(name, fn, iters=3):
         out = fn()  # warmup/compile
@@ -92,9 +94,9 @@ def main():
     maps = timed("attribution (drop4+finish)", lambda: runner._attribution(*args))
     m0, ma = maps
     timed("post (blur+CRF, 2 variants)",
-          lambda: runner._post(m0, ma, bg, valid, rgb_j))
+          lambda: runner._post(m0, ma, bg, valid, rgb_j, xy))
 
-    labels = runner._post(m0, ma, bg, valid, rgb_j)
+    labels = runner._post(m0, ma, bg, valid, rgb_j, xy)
     labels_host = np.asarray(labels[:, 1])
 
     t0 = time.perf_counter()
@@ -106,7 +108,7 @@ def main():
 
     def e2e():
         mm0, mma = runner._attribution(*args)
-        return runner._post(mm0, mma, bg, valid, rgb_j)
+        return runner._post(mm0, mma, bg, valid, rgb_j, xy)
 
     timed("e2e sync (no overlap)", e2e)
 

@@ -48,11 +48,16 @@ sys.path.insert(0, REPO)
 
 DEVICE_GRID = [
     # (tag, bilateral_mode, subsample, bucket)
-    ("nystrom_s8_b224", "nystrom", 8, 224),  # shipping default
-    ("nystrom_s6_b224", "nystrom", 6, 224),
-    ("strided_s4_b224", "strided", 4, 224),
+    ("strided_s4_b224", "strided", 4, 224),  # shipping default
     ("strided_s2_b224", "strided", 2, 224),
-    ("nystrom_s8_b192", "nystrom", 8, 192),
+    ("strided_s3_b224", "strided", 3, 224),
+    ("strided_s6_b224", "strided", 6, 224),
+    ("strided_s4_b192", "strided", 4, 192),
+    # Bucket-resolution sweep: the residual device-vs-anchor gap is
+    # boundary information the CRF recovers from full-res RGB.
+    ("strided_s4_b288", "strided", 4, 288),
+    ("strided_s4_b336", "strided", 4, 336),
+    ("nystrom_s8_b224", "nystrom", 8, 224),  # known-bad at 224: for record
 ]
 
 SIZES = [(375, 500), (500, 375), (333, 500), (480, 360)]
@@ -201,9 +206,12 @@ def main():
 
             rgb_b = resize_rgb(rgb, (bucket, bucket)).astype(np.float32)
             m = jnp.asarray(mb)[None]
+            scale = (bucket / max(h, w)
+                     if cfg.postprocess.crf_xy_gt_scale else 1.0)
             labels = runner._post(
                 m, m, jnp.asarray([True]), jnp.asarray(class_valid)[None],
                 jnp.asarray(rgb_b)[None],
+                jnp.asarray([scale], jnp.float32),
             )
             pred = runner.finalize_image(
                 np.asarray(labels[0, 1]), list(range(1, k + 1)), (h, w)
