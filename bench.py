@@ -72,8 +72,10 @@ def main():
         class_lists, tok, max_text_len=cfg.model.max_text_len,
         max_classes=cfg.max_classes,
     )
-    images = rng.rand(batch, cfg.img_size, cfg.img_size, 3).astype(np.float32)
-    images = (images - 0.45) / 0.27
+    # uint8 images, CLIP-normalised on device (the production CLI path).
+    images = rng.randint(
+        0, 256, (batch, cfg.img_size, cfg.img_size, 3)
+    ).astype(np.uint8)
     rgb = rng.randint(0, 255, (batch, runner.bucket, runner.bucket, 3)).astype(
         np.float32
     )

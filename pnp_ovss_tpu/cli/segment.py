@@ -137,7 +137,7 @@ def run_in_the_wild(args, cfg, runner, tok, meta):
     for start in range(0, len(paths), bs):
         chunk = paths[start : start + bs]
         raws = [transforms.load_rgb(p) for p in chunk]
-        imgs = [transforms.preprocess_image(r, cfg.img_size) for r in raws]
+        imgs = [transforms.resize_for_model(r, cfg.img_size) for r in raws]
         rgbs = [
             transforms.resize_rgb(r, (runner.bucket, runner.bucket))
             for r in raws

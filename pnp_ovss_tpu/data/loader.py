@@ -62,7 +62,8 @@ class PrefetchLoader:
         from PIL import Image
 
         raw = transforms.load_rgb(rec.image_path)
-        img = transforms.preprocess_image(raw, self.img_size)
+        # uint8: CLIP normalisation happens on device (runner._normalize).
+        img = transforms.resize_for_model(raw, self.img_size)
         rgb = transforms.resize_rgb(raw, (self.bucket, self.bucket))
         gt = rec.load_gt() if self.load_gt else None
         gtb = None

@@ -135,6 +135,16 @@ class SegmentationRunner:
         )
         self._finish_maps = jax.jit(self._finish_maps_fn)
         self._post = jax.jit(self._post_fn)
+        self._normalize = jax.jit(self._normalize_fn)
+
+    def _normalize_fn(self, images_u8):
+        """[B, S, S, 3] uint8 -> CLIP-normalised bf16 (data/transforms.py
+        constants; reference Dataset.py:434-443)."""
+        from pnp_ovss_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+        x = images_u8.astype(jnp.float32) / 255.0
+        x = (x - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+        return x.astype(jnp.bfloat16)
 
     # ------------------------------------------------------------------
     # Device graphs
@@ -310,18 +320,34 @@ class SegmentationRunner:
                 for c in n
             ]
         )
-        # bf16 image transfer: halves the host->device bytes; the model
-        # computes in bf16 anyway.
-        import ml_dtypes
-
-        args = (
-            jnp.asarray(np.asarray(images, ml_dtypes.bfloat16)),
-            jnp.asarray(caption_batch.input_ids),
-            jnp.asarray(caption_batch.attention_mask),
-            jnp.asarray(caption_batch.pool_matrix),
-        )
         if self.mesh is not None:
-            args = mesh_mod.shard_batch(self.mesh, args)
+            sharding = mesh_mod.batch_sharding(self.mesh)
+
+            def to_dev(x):
+                return jax.device_put(np.asarray(x), sharding)
+        else:
+            def to_dev(x):
+                return jnp.asarray(np.asarray(x))
+
+        images_np = np.asarray(images)
+        if images_np.dtype == np.uint8:
+            # uint8 transfer + on-device CLIP normalisation: bit-identical
+            # to host normalisation (PIL's bicubic resize of uint8 input is
+            # uint8 anyway) at HALF the bf16 transfer bytes — the image
+            # upload dominates host->device traffic on a tunneled chip.
+            img_j = self._normalize(to_dev(images_np))
+        else:
+            # Pre-normalised float images (tests / library users):
+            # bf16 transfer, the model computes in bf16 anyway.
+            import ml_dtypes
+
+            img_j = to_dev(images_np.astype(ml_dtypes.bfloat16))
+        args = (
+            img_j,
+            to_dev(caption_batch.input_ids),
+            to_dev(caption_batch.attention_mask),
+            to_dev(caption_batch.pool_matrix),
+        )
         maps_r0, maps_agg = self._attribution(*args)
 
         # One postprocess call handles both variants per image (fused CRF

@@ -59,16 +59,15 @@ def main():
         tok, max_text_len=cfg.model.max_text_len,
         max_classes=cfg.max_classes,
     )
-    images = rng.rand(batch, cfg.img_size, cfg.img_size, 3).astype(np.float32)
-    images = (images - 0.45) / 0.27
+    images = rng.randint(
+        0, 256, (batch, cfg.img_size, cfg.img_size, 3)
+    ).astype(np.uint8)
     rgb = rng.randint(
         0, 255, (batch, runner.bucket, runner.bucket, 3)
     ).astype(np.float32)
 
-    import ml_dtypes
-
     args = (
-        jnp.asarray(np.asarray(images, ml_dtypes.bfloat16)),
+        runner._normalize(jnp.asarray(images)),
         jnp.asarray(cap.input_ids),
         jnp.asarray(cap.attention_mask),
         jnp.asarray(cap.pool_matrix),
