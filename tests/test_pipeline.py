@@ -114,6 +114,30 @@ def test_runner_mesh_parity(setup):
     assert mism_agg <= 0.001, mism_agg
 
 
+def test_uint8_images_match_host_normalised(setup):
+    """The production path (uint8 transfer + on-device CLIP normalisation)
+    must match host-side preprocess_image + float submission exactly (the
+    same f32 ops run either way; PIL's uint8 resize output was being
+    normalised on host before)."""
+    from pnp_ovss_tpu.data.transforms import CLIP_MEAN, CLIP_STD
+
+    cfg, params, tok = setup
+    runner = SegmentationRunner(
+        cfg, params, attn_impl="xla", bucket_size=32,
+        bilateral_impl="reference",
+    )
+    rng = np.random.RandomState(1)
+    u8 = rng.randint(0, 256, (8, cfg.img_size, cfg.img_size, 3)).astype(
+        np.uint8
+    )
+    host_norm = ((u8.astype(np.float32) / 255.0) - CLIP_MEAN) / CLIP_STD
+    images, cap, rgb = _batch(cfg, tok)
+    res_u8 = runner.run_batch(u8, cap, rgb)
+    res_f = runner.run_batch(host_norm, cap, rgb)
+    assert (res_u8.labels_agg != res_f.labels_agg).mean() <= 0.001
+    assert (res_u8.labels_r0 != res_f.labels_r0).mean() <= 0.001
+
+
 def test_background_rule_context_vs_object(setup):
     cfg, params, tok = setup
     from pnp_ovss_tpu.pipeline.masks import context_includes_background
