@@ -106,6 +106,26 @@ def test_cli_viz_ids(fake_voc, tmp_path):
     assert not any("2007_000000" in f for f in files)
 
 
+def test_cli_in_the_wild(fake_voc, tmp_path):
+    """Demo mode (reference coco driver --in_the_wild, :351-384): segment a
+    directory of images with a user-supplied class list, render overlays."""
+    wild = tmp_path / "wild"
+    wild.mkdir()
+    rng = np.random.RandomState(3)
+    for name in ("street", "park"):
+        img = (rng.rand(50, 70, 3) * 255).astype(np.uint8)
+        img[:25] = [30, 160, 220]
+        Image.fromarray(img).save(wild / f"{name}.jpg")
+    out = str(tmp_path / "out_wild")
+    _run(fake_voc, out, [
+        "--in_the_wild", "--wild_dir", str(wild),
+        "--wild_classes", "dog,cat",
+    ])
+    viz_dir = os.path.join(out, "viz")
+    files = set(os.listdir(viz_dir))
+    assert {"wild_street.jpeg", "wild_park.jpeg"} <= files
+
+
 def test_cli_device_eval_mode_mesh(fake_voc, tmp_path):
     """Same run sharded over the 8-device CPU mesh: the in-graph (XLA-
     reduced) total must equal both the per-image sum and the single-device
