@@ -90,7 +90,7 @@ def main():
 
     # Double-buffered dispatch (as the CLI driver runs): submit batch N+1
     # before materialising batch N so the device queue never drains.
-    iters = 3
+    iters = int(os.environ.get("BENCH_ITERS", 5))
     t0 = time.perf_counter()
     pending = None
     for _ in range(iters):
