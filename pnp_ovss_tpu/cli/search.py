@@ -171,6 +171,8 @@ def main(argv=None):
                    help="OpenAI CLIP ViT-L/14-336px .pt for --scorer clip")
     p.add_argument("--clip_bpe", default=None,
                    help="CLIP bpe_simple_vocab_16e6.txt.gz path")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random model (machinery smoke / e2e tests)")
     args = p.parse_args(argv)
 
     import jax
@@ -187,7 +189,8 @@ def main(argv=None):
     from pnp_ovss_tpu.text.wordpiece import WordPieceTokenizer
     from pnp_ovss_tpu.utils.logging import log
 
-    cfg = ModelConfig(vit=ViTConfig(image_size=args.img_size))
+    cfg = (ModelConfig.tiny() if args.tiny
+           else ModelConfig(vit=ViTConfig(image_size=args.img_size)))
     meta = get_dataset_meta(args.data_type)
     lo, hi = (int(x) for x in args.layer.split("-"))
     capture = tuple(range(lo - 1, hi))

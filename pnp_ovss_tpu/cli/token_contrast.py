@@ -40,6 +40,8 @@ def main(argv=None):
     p.add_argument("--img_size", type=int, default=336)
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--vocab", default=None)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny random model (machinery smoke / e2e tests)")
     args = p.parse_args(argv)
 
     import jax
@@ -56,7 +58,8 @@ def main(argv=None):
     from pnp_ovss_tpu.text.wordpiece import WordPieceTokenizer
     from pnp_ovss_tpu.utils.logging import log
 
-    cfg = ModelConfig(vit=ViTConfig(image_size=args.img_size))
+    cfg = (ModelConfig.tiny() if args.tiny
+           else ModelConfig(vit=ViTConfig(image_size=args.img_size)))
     meta = get_dataset_meta(args.data_type)
     capture = tuple(range(cfg.bert.num_layers))
     model = BlipITM(cfg, capture_layers=capture)

@@ -106,6 +106,43 @@ def test_cli_viz_ids(fake_voc, tmp_path):
     assert not any("2007_000000" in f for f in files)
 
 
+def test_cli_search_end_to_end(fake_voc, tmp_path):
+    """Search CLI on the synthetic fixture (tiny random model, itc
+    scorer): runs the annealer end to end, memoizes per-config rewards
+    (reference Search :1229-1311 + reward JSON at :1303-1306)."""
+    from pnp_ovss_tpu.cli.search import main
+
+    out = str(tmp_path / "out_search")
+    best, score = main([
+        "--data_type", "voc", "--home_dir", fake_voc, "--save_path", out,
+        "--tiny", "--layer", "1-2", "--n_iter", "3", "--limit", "3",
+        "--scorer", "itc",
+    ])
+    assert set(best) == {"layer", "head", "min_att"}
+    assert 1 <= best["layer"] <= 2
+    cache_dir = os.path.join(out, "Search_Wsupervised_voc")
+    assert len(os.listdir(cache_dir)) >= 1  # memoized reward JSONs
+
+
+def test_cli_token_contrast_end_to_end(fake_voc, tmp_path):
+    """Token-contrast ablation CLI writes the reference-format JSON
+    (sum_token_contrast.json, driver :1414-1436)."""
+    from pnp_ovss_tpu.cli.token_contrast import main
+
+    out = str(tmp_path / "out_tc")
+    result = main([
+        "--data_type", "voc", "--home_dir", fake_voc, "--save_path", out,
+        "--tiny", "--limit", "3",
+    ])
+    path = os.path.join(out, "Token_Contrast", "sum_token_contrast.json")
+    with open(path) as f:
+        saved = json.load(f)
+    assert saved == {k: v for k, v in result.items()}
+    # tiny model: 2 layers x 2 heads, reference key format.
+    assert "TCSum_layer1_head0" in saved and "TCSum_layer2_head1" in saved
+    assert all(np.isfinite(v) for v in saved.values())
+
+
 def test_cli_in_the_wild(fake_voc, tmp_path):
     """Demo mode (reference coco driver --in_the_wild, :351-384): segment a
     directory of images with a user-supplied class list, render overlays."""
