@@ -106,6 +106,133 @@ def test_cli_viz_ids(fake_voc, tmp_path):
     assert not any("2007_000000" in f for f in files)
 
 
+def test_cli_coco_end_to_end(tmp_path):
+    """COCO driver path: annotation-JSON ground truth through the native
+    RLE/polygon rasteriser, sparse category ids, 91-class hists
+    (reference coco driver :1095-1125 + Calculate_mIoU n_class=91)."""
+    from pnp_ovss_tpu.data.categories import get_dataset_meta
+
+    root = tmp_path / "fake_coco"
+    (root / "annotations").mkdir(parents=True)
+    (root / "val2017").mkdir()
+    (root / "GPT4o_classification").mkdir()
+    meta = get_dataset_meta("coco_object")
+    dog_pos = meta.nms.index("dog") + 1  # 1-based position in the table
+    cat_pos = meta.nms.index("cat") + 1
+    dog_id = int(meta.category_ids[dog_pos - 1])
+
+    rng = np.random.RandomState(2)
+    images, anns, gpt = [], [], {}
+    for i, img_id in enumerate((101, 102, 103)):
+        img = (rng.rand(40, 50, 3) * 255).astype(np.uint8)
+        img[:20, :25] = [40, 180, 60]
+        Image.fromarray(img).save(root / "val2017" / f"{img_id:012d}.jpg")
+        images.append({"id": img_id, "file_name": f"{img_id:012d}.jpg",
+                       "height": 40, "width": 50})
+        anns.append({"image_id": img_id, "category_id": dog_id,
+                     "segmentation": [[2.0, 2.0, 24.0, 2.0, 24.0, 18.0,
+                                       2.0, 18.0]]})
+        gpt[str(img_id)] = (
+            f"[{dog_pos}: 'dog', {cat_pos}: 'cat'], "
+            f"[{dog_pos}: 95%, {cat_pos}: 80%]"
+        )
+    with open(root / "annotations/instances_val2017.json", "w") as f:
+        json.dump({"images": images, "annotations": anns}, f)
+    with open(root / "GPT4o_classification/"
+              "coco_object_classification_noboundary.json", "w") as f:
+        json.dump(gpt, f)
+
+    from pnp_ovss_tpu.cli.segment import main
+
+    out = str(tmp_path / "out_coco")
+    main([
+        "--data_type", "coco_object", "--home_dir", str(root),
+        "--save_path", out, "--img_size", "48", "--batch_size", "3",
+        "--drop_iter", "2", "--bucket_size", "32", "--attn_impl", "xla",
+        "--max_txt_len", "32",
+    ])
+    hist_dir = os.path.join(out, "all_drop_hist_with_filtered_caption")
+    files = sorted(os.listdir(hist_dir))
+    assert len(files) == 3
+    h = np.load(os.path.join(hist_dir, files[0]))
+    assert h.shape == (91, 91)
+    assert h.sum() == 40 * 50
+    # GT rows: only background (0) and dog (sparse id) are populated.
+    assert h[dog_id].sum() == 22 * 16  # polygon pixel count
+    from pnp_ovss_tpu.evalx.aggregate import aggregate
+
+    tables = aggregate(out, "coco_object")
+    assert 0.0 <= tables["all_drop_hist_with_filtered_caption"][
+        "Pixel Accuracy"] <= 1.0
+
+
+def test_cli_coco_stuff_end_to_end(tmp_path):
+    """coco_stuff: stuff annotations layered over things, 183-class hists,
+    and the context-dataset background rule (>= 3 proposed classes skip
+    the synthesized background channel — reference :446-489)."""
+    from pnp_ovss_tpu.data.categories import get_dataset_meta
+
+    root = tmp_path / "fake_stuff"
+    (root / "annotations").mkdir(parents=True)
+    (root / "val2017").mkdir()
+    (root / "GPT4o_classification").mkdir()
+    meta = get_dataset_meta("coco_stuff")
+    dog_pos = meta.nms.index("dog") + 1
+    grass_pos = meta.nms.index("grass") + 1
+    sky_pos = meta.nms.index("skyother") + 1  # multi-word names concatenated
+    dog_id = int(meta.category_ids[dog_pos - 1])
+    grass_id = int(meta.category_ids[grass_pos - 1])
+
+    rng = np.random.RandomState(4)
+    img_id = 201
+    img = (rng.rand(40, 50, 3) * 255).astype(np.uint8)
+    Image.fromarray(img).save(root / "val2017" / f"{img_id:012d}.jpg")
+    things = {
+        "images": [{"id": img_id, "file_name": f"{img_id:012d}.jpg",
+                    "height": 40, "width": 50}],
+        "annotations": [{"image_id": img_id, "category_id": dog_id,
+                         "segmentation": [[2.0, 2.0, 24.0, 2.0, 24.0, 18.0,
+                                           2.0, 18.0]]}],
+    }
+    stuff = {
+        "annotations": [{"image_id": img_id, "category_id": grass_id,
+                         "segmentation": [[26.0, 22.0, 48.0, 22.0,
+                                           48.0, 38.0, 26.0, 38.0]]}],
+    }
+    with open(root / "annotations/instances_val2017.json", "w") as f:
+        json.dump(things, f)
+    with open(root / "annotations/stuff_val2017.json", "w") as f:
+        json.dump(stuff, f)
+    with open(root / "GPT4o_classification/"
+              "coco_stuff_classification_noboundary.json", "w") as f:
+        json.dump({str(img_id): (
+            f"[{dog_pos}: 'dog', {grass_pos}: 'grass', {sky_pos}: 'sky'], "
+            f"[{dog_pos}: 95%, {grass_pos}: 90%, {sky_pos}: 85%]"
+        )}, f)
+
+    from pnp_ovss_tpu.cli.segment import main
+
+    out = str(tmp_path / "out_stuff")
+    main([
+        "--data_type", "coco_stuff", "--home_dir", str(root),
+        "--save_path", out, "--img_size", "48", "--batch_size", "1",
+        "--drop_iter", "2", "--bucket_size", "32", "--attn_impl", "xla",
+        "--max_txt_len", "32",
+    ])
+    hist_dir = os.path.join(out, "all_drop_hist_with_filtered_caption")
+    files = sorted(os.listdir(hist_dir))
+    assert len(files) == 1
+    h = np.load(os.path.join(hist_dir, files[0]))
+    assert h.shape == (183, 183)
+    assert h.sum() == 40 * 50
+    # GT layering: thing (dog) and stuff (grass) rows both populated.
+    assert h[dog_id].sum() == 22 * 16
+    assert h[grass_id].sum() == 22 * 16
+    # Context rule with 3 proposed classes: background channel disabled,
+    # so every predicted pixel is a real class (no column-0 predictions).
+    assert h[:, 0].sum() == 0
+
+
 def test_cli_search_end_to_end(fake_voc, tmp_path):
     """Search CLI on the synthetic fixture (tiny random model, itc
     scorer): runs the annealer end to end, memoizes per-config rewards
