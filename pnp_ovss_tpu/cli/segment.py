@@ -385,42 +385,55 @@ def main(argv=None):
                 gt_labels=gt.astype(np.int32),
             )
 
-    def finalize_batch(batch, res, cap, class_idx_lists):
-        """Host resize/remap/hist for one batch (runs in a worker thread so
-        the next batch's device work overlaps it)."""
+    def bucket_hists(batch, res, class_idx_lists):
+        """Device-side per-image hists + in-graph run-total accumulation.
+
+        MUST run on the main thread: it dispatches jitted programs, and
+        concurrent dispatch from two threads can enqueue a sharded
+        program's per-device collectives in different orders under a mesh
+        — observed as a hard deadlock on the 8-device CPU mesh. Returns
+        {variant: [B, C, C] numpy} for the worker thread to write.
+        """
+        nb = len(batch.records)
+        tables = np.zeros((bs, cfg.max_classes + 2), np.int32)
+        for i in range(nb):
+            cat_ids = meta.category_ids[class_idx_lists[i]]
+            k = len(cat_ids)
+            tables[i, 1 : k + 1] = cat_ids
+        gtb = np.concatenate(
+            [batch.gt_bucket] + [batch.gt_bucket[-1:]] * (bs - nb)
+        ).astype(np.int32)
+        w = np.zeros(bs, np.int32)
+        w[:nb] = 1
+        out = {}
+        for variant in ("r0", "agg"):
+            labels_b = (res.labels_r0 if variant == "r0"
+                        else res.labels_agg)  # device array (uint8)
+            hists_dev = hist_fn(
+                labels_b, jnp.asarray(tables), jnp.asarray(gtb)
+            )
+            if dev_totals[variant] is None:
+                dev_totals[variant] = jnp.zeros(
+                    (n_class, n_class), jnp.int32
+                )
+            dev_totals[variant] = accum_hist(
+                dev_totals[variant], hists_dev, jnp.asarray(w)
+            )
+            out[variant] = np.asarray(hists_dev)
+        return out
+
+    def finalize_batch(batch, res, cap, class_idx_lists, hists_np=None):
+        """Host resize/remap/hist/file-IO for one batch (worker thread).
+        No device dispatch happens here — see bucket_hists."""
         if viz_set:
             maybe_dump_viz(batch, res, class_idx_lists)
         if args.eval_at_bucket:
-            nb = len(batch.records)
-            tables = np.zeros((bs, cfg.max_classes + 2), np.int32)
-            for i in range(nb):
-                cat_ids = meta.category_ids[class_idx_lists[i]]
-                k = len(cat_ids)
-                tables[i, 1 : k + 1] = cat_ids
-            gtb = np.concatenate(
-                [batch.gt_bucket]
-                + [batch.gt_bucket[-1:]] * (bs - nb)
-            ).astype(np.int32)
-            w = np.zeros(bs, np.int32)
-            w[:nb] = 1
             for variant, hist_dir in (
                 ("r0", hist_dir_r0), ("agg", hist_dir_agg),
             ):
-                labels_b = (res.labels_r0 if variant == "r0"
-                            else res.labels_agg)  # device array (uint8)
-                hists_dev = hist_fn(
-                    labels_b, jnp.asarray(tables), jnp.asarray(gtb)
-                )
-                if dev_totals[variant] is None:
-                    dev_totals[variant] = jnp.zeros(
-                        (n_class, n_class), jnp.int32
-                    )
-                dev_totals[variant] = accum_hist(
-                    dev_totals[variant], hists_dev, jnp.asarray(w)
-                )
-                hists = np.asarray(hists_dev)
                 for i, rec in enumerate(batch.records):
-                    np.save(hist_path(hist_dir, rec.img_id), hists[i])
+                    np.save(hist_path(hist_dir, rec.img_id),
+                            hists_np[variant][i])
             return
         for i, rec in enumerate(batch.records):
             cat_ids = meta.category_ids[class_idx_lists[i]]
@@ -477,13 +490,18 @@ def main(argv=None):
             b0, pb0, cap0, cls0, t_sub = entry
             t0 = time.perf_counter()
             # Bucket-eval keeps predicted masks on device (hists are
-            # computed and accumulated in-graph).
-            res0 = pb0.result(materialize_labels=not args.eval_at_bucket)
+            # computed and accumulated in-graph); --viz_ids still needs
+            # host labels for the debug renders.
+            res0 = pb0.result(
+                materialize_labels=not args.eval_at_bucket or bool(viz_set)
+            )
+            hists_np = (bucket_hists(b0, res0, cls0)
+                        if args.eval_at_bucket else None)
             t_dev = time.perf_counter() - t0
             if fin_future is not None:
                 fin_future.result()  # surface worker exceptions, keep order
             fin_future = finalize_pool.submit(
-                finalize_batch, b0, res0, cap0, cls0
+                finalize_batch, b0, res0, cap0, cls0, hists_np
             )
             logger.update(
                 device_s=t_dev,
