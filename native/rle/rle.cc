@@ -29,7 +29,10 @@ int counts_fill(const std::vector<int64_t>& counts, int64_t h, int64_t w,
   int64_t pos = 0;
   int val = 0;
   for (int64_t c : counts) {
-    if (c < 0 || pos + c > hw) return -1;
+    // NOTE: written as `c > hw - pos` (pos <= hw is an invariant), NOT
+    // `pos + c > hw`: a malformed stream can decode c near INT64_MAX and
+    // the addition would signed-overflow past the bounds check.
+    if (c < 0 || c > hw - pos) return -1;
     if (val) std::memset(col.data() + pos, 1, static_cast<size_t>(c));
     pos += c;
     val ^= 1;
@@ -60,12 +63,15 @@ int rle_decode_string(const char* s, int64_t h, int64_t w, uint8_t* out) {
     bool more = true;
     while (more) {
       if (!*p) return -1;
+      // 13 x 5-bit chars exceed int64 range; shifting by >= 64 is UB, so
+      // reject over-long (malformed/corrupt) varints outright.
+      if (k > 12) return -1;
       const int64_t c = static_cast<int64_t>(*p) - 48;
       x |= (c & 0x1F) << (5 * k);
       more = (c & 0x20) != 0;
       ++p;
       ++k;
-      if (!more && (c & 0x10)) x |= -1LL << (5 * k);
+      if (!more && (c & 0x10) && 5 * k < 64) x |= -1LL << (5 * k);
     }
     if (counts.size() > 2) x += counts[counts.size() - 2];
     counts.push_back(x);

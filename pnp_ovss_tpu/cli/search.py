@@ -313,6 +313,9 @@ def main(argv=None):
             args.save_path, f"Search_{args.search}_{args.data_type}"
         ),
         scale_by_token_contrast=(args.search == "Wsupervised"),
+        # Per-image TCSum/TCStd JSONs in the reference layout
+        # (Dataset.py:166-210), written next to the reward JSONs.
+        token_contrast_dir=os.path.join(args.save_path, "Token_Contrast"),
     )
     best, score, history = run_search(
         evaluator, layers=range(lo, hi + 1),

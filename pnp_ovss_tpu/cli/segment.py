@@ -424,7 +424,9 @@ def main(argv=None):
 
     def finalize_batch(batch, res, cap, class_idx_lists, hists_np=None):
         """Host resize/remap/hist/file-IO for one batch (worker thread).
-        No device dispatch happens here — see bucket_hists."""
+        No device dispatch happens here — see bucket_hists. The parity
+        path is pure numpy + the native CRF (runner.finalize_image_parity),
+        so it too stays off the device."""
         if viz_set:
             maybe_dump_viz(batch, res, class_idx_lists)
         if args.eval_at_bucket:
@@ -460,11 +462,15 @@ def main(argv=None):
                 ("agg", hist_dir_agg, total_agg),
             ):
                 if parity:
-                    maps = res.maps_r0 if variant == "r0" else res.maps_agg
+                    # Grid-resolution maps: ONE bilinear resize to GT
+                    # inside finalize_image_parity (reference :358-360);
+                    # Scale_0_1 applies to the r0 variant only (:362).
+                    maps = res.grid_r0 if variant == "r0" else res.grid_agg
                     pred = runner.finalize_image_parity(
                         maps[i], bool(res.bg_enable[i]),
                         cap.class_valid[i], cat_ids,
                         batch.raw_images[i], gt.shape[:2],
+                        rescale=(variant == "r0"),
                     )
                 else:
                     labels_b = (res.labels_r0 if variant == "r0"
@@ -539,7 +545,8 @@ def main(argv=None):
             t_sub = time.perf_counter()
             pending_batch = runner.submit_batch(
                 images_np, cap, rgbs_np,
-                return_maps=parity or bool(viz_set),
+                return_maps=bool(viz_set),
+                return_grid_maps=parity,
                 gt_sizes=gt_sizes,
             )
             logger.update(host_s=t_sub - t0)
@@ -551,6 +558,13 @@ def main(argv=None):
             collect(in_flight)
         if fin_future is not None:
             fin_future.result()
+
+    if args.distributed:
+        # Cross-rank metric sync (reference SmoothedValue all_reduce,
+        # utils.py:48-59): after this every rank's global_avg describes
+        # the WHOLE run, not its own shard.
+        logger.synchronize_between_processes()
+        log(f"global (all {args.world_size} ranks): {logger}")
 
     if args.eval_at_bucket:
         # One run-total per rank, straight off the device (the in-graph

@@ -35,9 +35,10 @@ _NATIVE_DIR = os.path.join(
 @functools.lru_cache(maxsize=1)
 def _lib():
     so = os.path.join(_NATIVE_DIR, "librle.so")
-    if not os.path.exists(so):
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True)
+    # Always invoke make: it is a no-op when fresh and rebuilds when the
+    # source is newer than a previously built .so (stale-binary hazard).
+    subprocess.run(["make", "-C", _NATIVE_DIR],
+                   check=not os.path.exists(so), capture_output=True)
     lib = ctypes.CDLL(so)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i64 = ctypes.c_int64
@@ -160,6 +161,10 @@ def _rasterize_polygon_py(
 ) -> np.ndarray:
     mask = np.zeros((h, w), np.uint8)
     for poly in polys:
+        # Truncate a dangling odd coordinate exactly like the native path
+        # (len // 2 vertex pairs) so both rasterisers stay bit-for-bit
+        # equivalent on malformed input.
+        poly = poly[: 2 * (len(poly) // 2)]
         xs = np.asarray(poly[0::2], np.float64)
         ys = np.asarray(poly[1::2], np.float64)
         if len(xs) < 3:

@@ -50,15 +50,18 @@ def _diff_matrix_np(n: int) -> np.ndarray:
 def spatial_gaussian_apply(q: jax.Array, sigma) -> jax.Array:
     """K @ q for the separable 2D spatial Gaussian. q: [..., H, W].
 
-    ``sigma`` may be a Python float or a traced scalar (the per-image
-    GT-relative rescaling path); the kernel values are computed in-graph
-    from static index-difference matrices either way (H^2 + W^2 exps —
-    noise next to the N*M bilateral term).
+    ``sigma`` may be a Python float, a traced scalar, or a shape-[2]
+    ``(sigma_y, sigma_x)`` pair (the per-image per-axis GT-relative
+    rescaling path); the kernel values are computed in-graph from static
+    index-difference matrices either way (H^2 + W^2 exps — noise next to
+    the N*M bilateral term).
     """
     h, w = q.shape[-2:]
-    sigma = jnp.asarray(sigma, jnp.float32)
-    kh = jnp.exp(-0.5 * (jnp.asarray(_diff_matrix_np(h)) / sigma) ** 2)
-    kw = jnp.exp(-0.5 * (jnp.asarray(_diff_matrix_np(w)) / sigma) ** 2)
+    sigma = jnp.broadcast_to(
+        jnp.asarray(sigma, jnp.float32).reshape(-1), (2,)
+    )
+    kh = jnp.exp(-0.5 * (jnp.asarray(_diff_matrix_np(h)) / sigma[0]) ** 2)
+    kw = jnp.exp(-0.5 * (jnp.asarray(_diff_matrix_np(w)) / sigma[1]) ** 2)
     y = jnp.einsum("ij,...jw->...iw", kh, q.astype(jnp.float32),
                    preferred_element_type=jnp.float32)
     return jnp.einsum("ij,...hj->...hi", kw, y,
@@ -70,11 +73,12 @@ def bilateral_features(
 ) -> jax.Array:
     """[H, W, 3] (0-255 RGB) -> [H*W, 5] scaled features.
 
-    ``sxy`` may be a traced scalar (per-image GT-relative rescaling)."""
+    ``sxy`` may be a traced scalar or a shape-[2] ``(sxy_x, sxy_y)`` pair
+    (per-image per-axis GT-relative rescaling)."""
     h, w, _ = image_rgb.shape
-    sxy = jnp.asarray(sxy, jnp.float32)
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None] / sxy
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :] / sxy
+    sxy = jnp.broadcast_to(jnp.asarray(sxy, jnp.float32).reshape(-1), (2,))
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] / sxy[1]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] / sxy[0]
     pos_y = jnp.broadcast_to(ys, (h, w))
     pos_x = jnp.broadcast_to(xs, (h, w))
     rgb = image_rgb.astype(jnp.float32) / srgb
@@ -141,15 +145,20 @@ def mean_field_crf_variants(
       N*M), making nystrom at stride s comparable to strided at s/sqrt(2)
       in work but closer to exact in message quality.
 
-    ``xy_scale`` (float or traced scalar) multiplies BOTH spatial standard
-    deviations. The reference runs the CRF at ground-truth resolution with
-    pixel-unit constants (POS_XY_STD=3, Bi_XY_STD=50, driver :1036-1041);
-    at a fixed bucket resolution the same pixel counts reach ~2x further
-    relative to the image, silently changing the smoothing strength. The
-    runner passes xy_scale = bucket / max(gt_h, gt_w) so the kernels match
-    the reference's RELATIVE reach per image (measured on the synthetic
-    postprocess gate: unscaled bucket CRF drifts several mIoU points from
-    the exact-GT-resolution anchor).
+    ``xy_scale`` (float / traced scalar / shape-[2] ``(sx, sy)``)
+    multiplies the spatial standard deviations. The reference runs the CRF
+    at ground-truth resolution with pixel-unit constants (POS_XY_STD=3,
+    Bi_XY_STD=50, driver :1036-1041); at a fixed bucket resolution the
+    same pixel counts reach ~2x further relative to the image, silently
+    changing the smoothing strength. The runner passes per-axis
+    xy_scale = (bucket / gt_w, bucket / gt_h) so the kernels match the
+    reference's RELATIVE reach per image along BOTH axes — the square
+    bucket resize is anisotropic for non-square images, so a single
+    isotropic scale (the round-2 scheme, bucket / max(gt_h, gt_w)) left
+    the shorter axis under-reaching by the aspect ratio (~33% at 4:3).
+    A scalar still broadcasts to both axes.
+    (Measured on the synthetic postprocess gate: the UNscaled bucket CRF
+    drifts several mIoU points from the exact-GT-resolution anchor.)
     """
     v, c, h, w = logits.shape
     n = h * w
@@ -159,10 +168,12 @@ def mean_field_crf_variants(
     # [N, V*C] layout: pixel-major rows, variant blocks along the lanes.
     u_flat = u.reshape(v * c, n).T
 
-    pos_xy_std = cfg.pos_xy_std * jnp.asarray(xy_scale, jnp.float32)
+    scale_xy = jnp.broadcast_to(
+        jnp.asarray(xy_scale, jnp.float32).reshape(-1), (2,)
+    )  # [sx, sy]
+    pos_xy_std = cfg.pos_xy_std * scale_xy[::-1]  # (sigma_y, sigma_x)
     feats_bi = bilateral_features(
-        image_rgb, cfg.bi_xy_std * jnp.asarray(xy_scale, jnp.float32),
-        cfg.bi_rgb_std,
+        image_rgb, cfg.bi_xy_std * scale_xy, cfg.bi_rgb_std,
     )
 
     s = bilateral_subsample

@@ -29,9 +29,10 @@ _NATIVE_DIR = os.path.join(
 @functools.lru_cache(maxsize=1)
 def _lib() -> ctypes.CDLL:
     so = os.path.join(_NATIVE_DIR, "libdensecrf.so")
-    if not os.path.exists(so):
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True)
+    # Always invoke make: no-op when fresh, rebuilds when the source is
+    # newer than a previously built .so (stale-binary hazard).
+    subprocess.run(["make", "-C", _NATIVE_DIR],
+                   check=not os.path.exists(so), capture_output=True)
     lib = ctypes.CDLL(so)
     f32p = ctypes.POINTER(ctypes.c_float)
     i32p = ctypes.POINTER(ctypes.c_int32)

@@ -74,6 +74,18 @@ def make_mesh_2d(
     return Mesh(grid, axis_names=(DATA_AXIS, MODEL_AXIS))
 
 
+def _path_matches(parts: Sequence[str], rule: str) -> bool:
+    """True iff ``rule`` (one or more '/'-joined COMPONENT names) appears as
+    a consecutive run of whole path segments. Segment-wise matching, not
+    substring: a future module named e.g. ``key_pool`` must not silently
+    inherit ``key``'s column-parallel sharding."""
+    rp = rule.split("/")
+    return any(
+        list(parts[i : i + len(rp)]) == rp
+        for i in range(len(parts) - len(rp) + 1)
+    )
+
+
 def _leaf_spec(path: str, shape, tp: int) -> P:
     """PartitionSpec for one parameter leaf under ``tp``-way model sharding."""
 
@@ -84,11 +96,14 @@ def _leaf_spec(path: str, shape, tp: int) -> P:
         spec[len(shape) - axis_from_end] = MODEL_AXIS
         return P(*spec)
 
-    is_kernel = path.endswith("kernel")
-    is_bias = path.endswith("bias")
-    if any(k in path for k in _COLUMN_PARALLEL) and (is_kernel or is_bias):
+    parts = path.split("/")
+    is_kernel = parts[-1] == "kernel"
+    is_bias = parts[-1] == "bias"
+    if any(_path_matches(parts, k) for k in _COLUMN_PARALLEL) and (
+        is_kernel or is_bias
+    ):
         return axis_spec(1)
-    if any(k in path for k in _ROW_PARALLEL) and is_kernel:
+    if any(_path_matches(parts, k) for k in _ROW_PARALLEL) and is_kernel:
         return axis_spec(2)
     return P()
 

@@ -55,8 +55,10 @@ class BatchResult:
     labels_agg: np.ndarray  # [B, Hb, Wb] int32 channel indices (N-drop agg)
     num_classes: np.ndarray  # [B]
     bg_enable: Optional[np.ndarray] = None  # [B] bool
-    maps_r0: Optional[np.ndarray] = None  # [B, K, Hb, Wb] (parity mode)
+    maps_r0: Optional[np.ndarray] = None  # [B, K, Hb, Wb] (viz mode)
     maps_agg: Optional[np.ndarray] = None
+    grid_r0: Optional[np.ndarray] = None  # [B, K, g, g] (parity mode)
+    grid_agg: Optional[np.ndarray] = None
 
 
 @dataclasses.dataclass
@@ -77,21 +79,27 @@ class PendingBatch:
     bg_enable: np.ndarray
     maps_r0_dev: Optional[jax.Array] = None
     maps_agg_dev: Optional[jax.Array] = None
+    grid_r0_dev: Optional[jax.Array] = None
+    grid_agg_dev: Optional[jax.Array] = None
 
     def result(self, *, materialize_labels: bool = True) -> BatchResult:
         """materialize_labels=False keeps the label arrays on device (for
         the --eval_at_bucket path, where hists are computed in-graph and
         the predicted masks never cross to the host)."""
         to_host = np.asarray if materialize_labels else (lambda x: x)
+
+        def opt(x):
+            return None if x is None else np.asarray(x)
+
         return BatchResult(
             labels_r0=to_host(self.labels_r0_dev),
             labels_agg=to_host(self.labels_agg_dev),
             num_classes=self.num_classes,
             bg_enable=self.bg_enable,
-            maps_r0=(None if self.maps_r0_dev is None
-                     else np.asarray(self.maps_r0_dev)),
-            maps_agg=(None if self.maps_agg_dev is None
-                      else np.asarray(self.maps_agg_dev)),
+            maps_r0=opt(self.maps_r0_dev),
+            maps_agg=opt(self.maps_agg_dev),
+            grid_r0=opt(self.grid_r0_dev),
+            grid_agg=opt(self.grid_agg_dev),
         )
 
 
@@ -197,20 +205,30 @@ class SegmentationRunner:
         return gc[0, :, cfg.attribution.head], logits
 
     def _finish_maps_fn(self, gc0, agg, pool_matrix):
-        """Pool + threshold + bucket-upsample both gradcam variants."""
+        """Pool + threshold + bucket-upsample both gradcam variants.
+
+        Also returns the grid-resolution thresholded maps (pre-upsample,
+        raw): the host parity path resizes THOSE to GT resolution in one
+        bilinear step, matching the reference (driver :358-360) — chaining
+        grid->bucket->GT resamples would not. They are intermediates of
+        the bucket path, so returning them adds no compute; the transfer
+        only happens when the caller materialises them."""
         cfg = self.cfg
         out = []
+        grids = []
         for gc, rescale in ((gc0, True), (agg, False)):
             pooled = pool_token_maps(pool_matrix, gc)
             masked = masks_mod.threshold_maps(pooled, cfg.threshold)
+            grids.append(masked)
             up = masks_mod.upsample_maps(
                 masked, self.bucket, self.bucket, rescale=rescale
             )
             out.append(up)
-        return tuple(out)
+        return tuple(out), tuple(grids)
 
     def _attribution(self, images, ids, mask, pool_matrix):
-        """[B,S,S,3],[B,T],[B,T],[B,K,T-1] -> maps_r0/maps_agg [B,K,Hb,Wb]."""
+        """[B,S,S,3],[B,T],[B,T],[B,K,T-1] ->
+        ((maps_r0, maps_agg) [B,K,Hb,Wb], (grid_r0, grid_agg) [B,K,g,g])."""
         cfg = self.cfg
         step = functools.partial(self._round_step, self.params)
         gc0, agg = drop_mod.run_drop_rounds(
@@ -222,9 +240,10 @@ class SegmentationRunner:
     def _post_fn(self, maps_r0, maps_agg, bg_enable, class_valid,
                  images_rgb, xy_scale):
         """maps_* [B,K,Hb,Wb]; bg_enable [B] bool; class_valid [B,K] bool;
-        images_rgb [B, Hb, Wb, 3] 0-255; xy_scale [B] f32 (per-image
-        bucket/GT-size ratio scaling the CRF's spatial stds so the bucket
-        CRF matches the reference's GT-resolution reach, ops/crf.py) ->
+        images_rgb [B, Hb, Wb, 3] 0-255; xy_scale [B, 2] f32 (per-image
+        per-axis (bucket/gt_w, bucket/gt_h) ratios scaling the CRF's
+        spatial stds so the bucket CRF matches the reference's
+        GT-resolution reach on both axes, ops/crf.py) ->
         labels [B, 2, Hb, Wb] (variant axis: 0 = round-0, 1 = aggregated).
 
         Both variants of each image run through ONE CRF kernel pass
@@ -312,9 +331,13 @@ class SegmentationRunner:
         images_rgb_bucket: np.ndarray,  # [B, Hb, Wb, 3] 0-255
         *,
         return_maps: bool = False,
+        return_grid_maps: bool = False,
         gt_sizes: Optional[Sequence[Tuple[int, int]]] = None,
     ) -> PendingBatch:
-        """gt_sizes: per-image (H, W) of the ground truth / original image;
+        """return_maps: bucket-resolution maps (viz overlays);
+        return_grid_maps: grid-resolution thresholded maps (parity path).
+
+        gt_sizes: per-image (H, W) of the ground truth / original image;
         drives the CRF's GT-relative spatial rescaling (ops/crf.py
         xy_scale). None = no rescale (bucket-pixel constants, the round-1
         behaviour, also selectable via config crf_xy_gt_scale=False)."""
@@ -357,7 +380,7 @@ class SegmentationRunner:
             to_dev(caption_batch.attention_mask),
             to_dev(caption_batch.pool_matrix),
         )
-        maps_r0, maps_agg = self._attribution(*args)
+        (maps_r0, maps_agg), (grid_r0, grid_agg) = self._attribution(*args)
 
         # One postprocess call handles both variants per image (fused CRF
         # kernel pass; shared per-image kernels and degrees).
@@ -367,11 +390,14 @@ class SegmentationRunner:
         rgb_j = jnp.asarray(np.asarray(images_rgb_bucket, np.uint8))
         b = images.shape[0]
         if gt_sizes is not None and cfg.postprocess.crf_xy_gt_scale:
+            # Per-axis (sx, sy): the square bucket resize is anisotropic
+            # for non-square images, so each axis gets its own ratio.
             scale = np.asarray(
-                [self.bucket / max(h, w) for h, w in gt_sizes], np.float32
+                [(self.bucket / w, self.bucket / h) for h, w in gt_sizes],
+                np.float32,
             )
         else:
-            scale = np.ones(b, np.float32)
+            scale = np.ones((b, 2), np.float32)
         labels_both = self._post(
             maps_r0, maps_agg, bg_j, valid_j, rgb_j, jnp.asarray(scale)
         )
@@ -383,6 +409,8 @@ class SegmentationRunner:
             bg_enable=bg_enable,
             maps_r0_dev=maps_r0 if return_maps else None,
             maps_agg_dev=maps_agg if return_maps else None,
+            grid_r0_dev=grid_r0 if return_grid_maps else None,
+            grid_agg_dev=grid_agg if return_grid_maps else None,
         )
 
     def make_hist_fn(self, n_class: int):
@@ -407,34 +435,42 @@ class SegmentationRunner:
 
     def finalize_image_parity(
         self,
-        maps_bucket: np.ndarray,  # [K, Hb, Wb] pre-postprocess class maps
+        maps_grid: np.ndarray,  # [K, g, g] thresholded grid-res class maps
         bg_enable: bool,
         class_valid: np.ndarray,  # [K]
         category_ids: Sequence[int],
         image_rgb_full: np.ndarray,  # [H, W, 3] original image
         gt_shape: Tuple[int, int],
+        *,
+        rescale: bool = False,  # True for the 1-drop (r0) variant
     ) -> np.ndarray:
-        """Parity path: blur + native permutohedral CRF at exact GT
-        resolution (the reference's per-image CPU postprocess,
-        :1002-1074), then remap. Slower; use for mIoU parity runs."""
-        from pnp_ovss_tpu.ops import crf_host
-        from pnp_ovss_tpu.ops.blur import blur_and_minmax
-        from pnp_ovss_tpu.ops.resize import resize_bilinear_align_corners
+        """Parity path, bit-faithful to the reference's per-image CPU
+        postprocess: ONE bilinear resize of the grid-resolution thresholded
+        maps to GT resolution (driver :358-360), Scale_0_1 on the 1-drop
+        variant only (:362 vs :441), background channel (:370), then blur +
+        native permutohedral CRF (:1002-1074) and channel remap.
 
-        import jax.numpy as jnp
+        Pure numpy/scipy + the native lattice — NO device dispatch, so it
+        is safe on the CLI's finalize worker thread (device dispatch is
+        main-thread-only; see cli/segment.py bucket_hists)."""
+        from pnp_ovss_tpu.ops import crf_host, host_post
 
         h, w = gt_shape
         k = int(np.sum(class_valid))
-        maps = np.asarray(
-            resize_bilinear_align_corners(jnp.asarray(maps_bucket[:k]), h, w)
+        maps = host_post.resize_bilinear_np(
+            np.asarray(maps_grid[:k], np.float32), h, w
         )
-        stack = [((maps.max(axis=0) == 0).astype(np.float32))] if bg_enable else []
-        wbg = np.concatenate([np.stack(stack + list(maps))], axis=0) if stack \
-            else maps
+        if rescale:
+            maps = host_post.rescale_0_1_np(maps)
+        if bg_enable:
+            background = (maps.max(axis=0) == 0).astype(np.float32)
+            wbg = np.concatenate([background[None], maps], axis=0)
+        else:
+            wbg = maps
         mode = self.cfg.postprocess.mode
         if "blur" in mode:
             sigma = self.cfg.postprocess.blur_scale * max(h, w)
-            wbg = np.asarray(blur_and_minmax(jnp.asarray(wbg), sigma))
+            wbg = host_post.blur_and_minmax_np(wbg, sigma)
         if "crf" in mode:
             img = np.asarray(image_rgb_full, np.float32)
             if img.shape[:2] != (h, w):

@@ -96,11 +96,37 @@ class RewardEvaluator:
     """
 
     def __init__(self, gradcam_provider, scorer, *, cache_dir: Optional[str] = None,
-                 scale_by_token_contrast: bool = False):
+                 scale_by_token_contrast: bool = False,
+                 token_contrast_dir: Optional[str] = None):
         self.gradcam_provider = gradcam_provider
         self.scorer = scorer
         self.cache_dir = cache_dir
         self.scale_by_token_contrast = scale_by_token_contrast
+        self.token_contrast_dir = token_contrast_dir
+
+    def _write_token_contrast(self, layer: int, head: int, min_att: float,
+                              img_id, tc_sum: float, tc_std: float):
+        """Per-image token-contrast JSON in the reference's exact layout
+        (Dataset.py token_cos_sim_map, :166-210: Token_Contrast/
+        max_att_block_num{L}_atthead{H}_withatt{T}/Token_contrast_sum/
+        img_{id}.json with TCSum_/TCStd_ keys) so downstream consumers —
+        including the reference's own Search, which re-reads these files
+        (driver :1474-1478) — are drop-in compatible."""
+        if not self.token_contrast_dir:
+            return
+        d = os.path.join(
+            self.token_contrast_dir,
+            f"max_att_block_num{layer}_atthead{head}"
+            f"_withatt{int(min_att * 100)}",
+            "Token_contrast_sum",
+        )
+        os.makedirs(d, exist_ok=True)
+        payload = {
+            f"TCSum_layer{layer}_head{head}_img_{img_id}": float(tc_sum),
+            f"TCStd_layer{layer}_head{head}_img_{img_id}": float(tc_std),
+        }
+        with open(os.path.join(d, f"img_{img_id}.json"), "w") as f:
+            json.dump(payload, f)
 
     def _cache_path(self, layer: int, head: int, min_att: float) -> Optional[str]:
         if not self.cache_dir:
@@ -129,7 +155,11 @@ class RewardEvaluator:
             if len(names) == 0:
                 continue
             masked, token_maps = build_pos_masks(maps, image, min_att)
-            tc_sum, _ = token_contrast(jnp.asarray(token_maps)[None])
+            tc_sum, tc_std = token_contrast(jnp.asarray(token_maps)[None])
+            self._write_token_contrast(
+                layer, head, min_att, img_id,
+                float(tc_sum[0]), float(tc_std[0]),
+            )
             neg = np.zeros_like(masked)
             probs = self.scorer(
                 np.concatenate([masked, neg], axis=0), list(names)
@@ -144,6 +174,10 @@ class RewardEvaluator:
         detail[key] = total
         detail[skey] = total_scaled
         if path:
+            # Reference sorts the reward dict by value before dumping
+            # (driver :1496); totals sort to the end the same way.
+            detail = {k: v for k, v in
+                      sorted(detail.items(), key=lambda kv: kv[1])}
             with open(path, "w") as f:
                 json.dump(detail, f)
         return total_scaled if self.scale_by_token_contrast else total

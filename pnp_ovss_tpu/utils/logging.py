@@ -29,6 +29,22 @@ class SmoothedValue:
         self.count += n
         self.total += value * n
 
+    def synchronize_between_processes(self):
+        """All-reduce count/total across ranks (reference utils.py:48-59:
+        dist.barrier + all_reduce on [count, total]); the smoothing window
+        (median/avg) stays rank-local, exactly like the reference. The
+        TPU-native transport is a process_allgather over DCN — one tiny
+        host-local array, no NCCL process group."""
+        if jax.process_count() == 1:
+            return
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        arr = np.asarray([float(self.count), self.total], np.float64)
+        gathered = np.asarray(multihost_utils.process_allgather(arr))
+        self.count = int(gathered[:, 0].sum())
+        self.total = float(gathered[:, 1].sum())
+
     @property
     def median(self) -> float:
         d = sorted(self.deque)
@@ -65,6 +81,13 @@ class MetricLogger:
     def update(self, **kwargs):
         for k, v in kwargs.items():
             self.meters[k].update(float(v))
+
+    def synchronize_between_processes(self):
+        """Sync every meter's global stats across ranks (reference
+        utils.py:122-124). After this, global_avg is identical on all
+        ranks — one host's log tells the whole run's story."""
+        for meter in self.meters.values():
+            meter.synchronize_between_processes()
 
     def __str__(self):
         return self.delimiter.join(

@@ -76,7 +76,9 @@ def main():
     valid = jnp.asarray(cap.class_valid)
     rgb_j = jnp.asarray(np.asarray(rgb, np.uint8))
     # Representative GT-relative CRF scale (bucket / a typical 500px image).
-    xy = jnp.asarray(np.full(batch, runner.bucket / 500.0, np.float32))
+    xy = jnp.asarray(
+        np.full((batch, 2), runner.bucket / 500.0, np.float32)
+    )
 
     def timed(name, fn, iters=3):
         out = fn()  # warmup/compile
@@ -91,7 +93,7 @@ def main():
         return out
 
     maps = timed("attribution (drop4+finish)", lambda: runner._attribution(*args))
-    m0, ma = maps
+    (m0, ma), _ = maps
     timed("post (blur+CRF, 2 variants)",
           lambda: runner._post(m0, ma, bg, valid, rgb_j, xy))
 
@@ -106,7 +108,7 @@ def main():
           f"{batch / dt:8.1f} img/s")
 
     def e2e():
-        mm0, mma = runner._attribution(*args)
+        (mm0, mma), _ = runner._attribution(*args)
         return runner._post(mm0, mma, bg, valid, rgb_j, xy)
 
     timed("e2e sync (no overlap)", e2e)

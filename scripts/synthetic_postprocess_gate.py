@@ -18,18 +18,23 @@ it builds photo-like synthetic scenes (piecewise-region GT, textured RGB,
 noisy grid-resolution saliency maps shaped like thresholded GradCAMs),
 pushes the SAME maps through
 
-  anchor : the host-parity path (bilinear to GT res, f32 blur, native
-           permutohedral DenseCRF at exact GT res) — the reference's
-           semantics, and
+  anchor : the host-parity path — grid-resolution thresholded maps,
+           ONE bilinear resize to GT resolution (reference :358-360),
+           f32 blur, native permutohedral DenseCRF at exact GT res —
+           the reference's semantics, and
   grid   : the production device path (SegmentationRunner._post at the
            bucket + nearest upsample) across the approximation grid,
 
 and reports mIoU deltas against the anchor and the 0.3-point budget
-(BASELINE.json north star). Run on the TPU for production numbers
-(pallas bilateral + bf16) or on CPU (reference bilateral):
+(BASELINE.json north star). Scene-distribution variance is ~1 mIoU point
+per seed (round-2 finding), 3x the budget — so the verdict is taken over
+MULTIPLE seeds: per config the gate reports per-seed deltas, their mean
+and range, and PASSes on |mean| <= budget (flagging configs whose worst
+seed exceeds it). Run on the TPU for production numbers (pallas bilateral
++ bf16) or on CPU (reference bilateral):
 
-  python scripts/synthetic_postprocess_gate.py --scenes 24 \
-      --out /tmp/synth_gate.json
+  python scripts/synthetic_postprocess_gate.py --scenes 48 \
+      --seeds 0,1,2,3,4 --out SYNTH_GATE.json
 """
 
 from __future__ import annotations
@@ -107,19 +112,22 @@ def make_scene(rng: np.random.RandomState, h: int, w: int, k: int, grid: int):
 
 
 def _upsample_bilinear(x: np.ndarray, h: int, w: int) -> np.ndarray:
-    import jax.numpy as jnp
-    from pnp_ovss_tpu.ops.resize import resize_bilinear_align_corners
+    from pnp_ovss_tpu.ops.host_post import resize_bilinear_np
 
-    return np.array(resize_bilinear_align_corners(jnp.asarray(x), h, w))
+    return resize_bilinear_np(x, h, w)
 
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--scenes", type=int, default=24)
+    p.add_argument("--scenes", type=int, default=48)
     p.add_argument("--max_k", type=int, default=6)
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--seeds", default="0,1,2,3,4",
+                   help="comma-separated scene-distribution seeds; the "
+                        "verdict is mean-over-seeds")
     p.add_argument("--budget", type=float, default=0.3)
     p.add_argument("--out", default=None)
+    p.add_argument("--configs", default=None,
+                   help="comma-separated subset of config tags to run")
     p.add_argument("--cpu", action="store_true",
                    help="pin to CPU (reference bilateral impl)")
     args = p.parse_args()
@@ -132,6 +140,7 @@ def main():
     import jax.numpy as jnp
 
     from pnp_ovss_tpu.config import PipelineConfig
+    from pnp_ovss_tpu.data.transforms import resize_rgb
     from pnp_ovss_tpu.evalx.metrics import fast_hist, scores_from_hist
     from pnp_ovss_tpu.pipeline import masks as masks_mod
     from pnp_ovss_tpu.pipeline.runner import SegmentationRunner
@@ -142,49 +151,36 @@ def main():
     grid = base_cfg.model.vit.grid
     kmax = base_cfg.max_classes
     n_class = args.max_k + 1
+    names = [str(i) for i in range(n_class)]
+    seeds = [int(s) for s in args.seeds.split(",")]
+    device_grid = DEVICE_GRID
+    if args.configs:
+        keep = set(args.configs.split(","))
+        device_grid = [c for c in DEVICE_GRID if c[0] in keep]
 
-    rng = np.random.RandomState(args.seed)
-    scenes = []
-    for i in range(args.scenes):
-        h, w = SIZES[i % len(SIZES)]
-        k = int(rng.randint(2, args.max_k + 1))
-        scenes.append((make_scene(rng, h, w, k, grid), (h, w), k))
-    print(f"[synth-gate] {args.scenes} scenes, backend={jax.default_backend()}"
-          f", bilateral_impl={bilateral_impl}")
+    print(f"[synth-gate] {args.scenes} scenes x seeds {seeds}, "
+          f"backend={jax.default_backend()}, bilateral_impl={bilateral_impl}")
 
-    def maps_at_bucket(maps_k, k, bucket):
-        """threshold + bilinear upsample, padded to kmax channels —
-        the production _finish_maps semantics for the agg variant."""
+    def threshold_grid(maps_k, k):
+        """Production threshold semantics at grid resolution, padded to
+        kmax channels — the maps the parity anchor resizes grid->GT in
+        one step and _finish_maps upsamples to the bucket."""
         padded = np.zeros((1, kmax, grid, grid), np.float32)
         padded[0, :k] = maps_k
         t = masks_mod.threshold_maps(jnp.asarray(padded), base_cfg.threshold)
-        up = masks_mod.upsample_maps(t, bucket, bucket, rescale=False)
+        return np.asarray(t[0])
+
+    def upsample_bucket(tgrid, bucket):
+        up = masks_mod.upsample_maps(
+            jnp.asarray(tgrid)[None], bucket, bucket, rescale=False
+        )
         return np.asarray(up[0])
 
-    # ----- anchor: host-parity path at exact GT resolution ----------------
     anchor_runner = SegmentationRunner(
         base_cfg, params={}, bucket_size=224, bilateral_impl="reference"
     )
-    hist_anchor = np.zeros((n_class, n_class), np.int64)
-    t0 = time.perf_counter()
-    per_scene_bucket224 = []
-    for (gt, rgb, maps), (h, w), k in scenes:
-        mb = maps_at_bucket(maps, k, 224)
-        per_scene_bucket224.append(mb)
-        class_valid = np.arange(kmax) < k
-        pred = anchor_runner.finalize_image_parity(
-            mb, True, class_valid, list(range(1, k + 1)), rgb, (h, w)
-        )
-        hist_anchor += fast_hist(gt.flatten(), pred.flatten(), n_class)
-    names = [str(i) for i in range(n_class)]
-    anchor_miou = scores_from_hist(hist_anchor, names)["Mean IoU"]
-    print(f"[synth-gate] anchor (host, exact GT-res CRF) "
-          f"mIoU={anchor_miou:.4f}  [{time.perf_counter() - t0:.1f}s]")
-
-    # ----- device grid -----------------------------------------------------
-    results = {"anchor_host": float(anchor_miou)}
-    failures = []
-    for tag, mode, sub, bucket in DEVICE_GRID:
+    runners = {}
+    for tag, mode, sub, bucket in device_grid:
         cfg = dataclasses.replace(
             base_cfg,
             postprocess=dataclasses.replace(
@@ -192,56 +188,114 @@ def main():
                 bilateral_mode=mode, bilateral_subsample=sub,
             ),
         )
-        runner = SegmentationRunner(
-            cfg, params={}, bucket_size=bucket,
-            bilateral_impl=bilateral_impl,
+        runners[tag] = SegmentationRunner(
+            cfg, params={}, bucket_size=bucket, bilateral_impl=bilateral_impl,
         )
-        hist = np.zeros((n_class, n_class), np.int64)
-        t0 = time.perf_counter()
-        for idx, ((gt, rgb, maps), (h, w), k) in enumerate(scenes):
-            mb = (per_scene_bucket224[idx] if bucket == 224
-                  else maps_at_bucket(maps, k, bucket))
-            class_valid = np.arange(kmax) < k
-            from pnp_ovss_tpu.data.transforms import resize_rgb
 
-            rgb_b = resize_rgb(rgb, (bucket, bucket)).astype(np.float32)
-            m = jnp.asarray(mb)[None]
-            scale = (bucket / max(h, w)
-                     if cfg.postprocess.crf_xy_gt_scale else 1.0)
-            labels = runner._post(
-                m, m, jnp.asarray([True]), jnp.asarray(class_valid)[None],
-                jnp.asarray(rgb_b)[None],
-                jnp.asarray([scale], jnp.float32),
+    # miou[seed][tag] and miou[seed]["anchor_host"]
+    miou = {}
+    for seed in seeds:
+        rng = np.random.RandomState(seed)
+        scenes = []
+        for i in range(args.scenes):
+            h, w = SIZES[i % len(SIZES)]
+            k = int(rng.randint(2, args.max_k + 1))
+            scenes.append((make_scene(rng, h, w, k, grid), (h, w), k))
+        tgrids = [threshold_grid(maps, k) for (gt, rgb, maps), _, k in scenes]
+
+        # ----- anchor: host-parity path at exact GT resolution -----------
+        t0 = time.perf_counter()
+        hist_anchor = np.zeros((n_class, n_class), np.int64)
+        for tg, ((gt, rgb, maps), (h, w), k) in zip(tgrids, scenes):
+            class_valid = np.arange(kmax) < k
+            pred = anchor_runner.finalize_image_parity(
+                tg, True, class_valid, list(range(1, k + 1)), rgb, (h, w),
+                rescale=False,
             )
-            pred = runner.finalize_image(
-                np.asarray(labels[0, 1]), list(range(1, k + 1)), (h, w)
-            )
-            hist += fast_hist(gt.flatten(), pred.flatten(), n_class)
-        miou = scores_from_hist(hist, names)["Mean IoU"]
-        delta = (miou - anchor_miou) * 100
-        ok = abs(delta) <= args.budget
+            hist_anchor += fast_hist(gt.flatten(), pred.flatten(), n_class)
+        anchor = scores_from_hist(hist_anchor, names)["Mean IoU"]
+        miou[seed] = {"anchor_host": float(anchor)}
+        print(f"[synth-gate] seed {seed} anchor (host, exact GT-res CRF) "
+              f"mIoU={anchor:.4f}  [{time.perf_counter() - t0:.1f}s]")
+
+        # ----- device grid ----------------------------------------------
+        for tag, mode, sub, bucket in device_grid:
+            runner = runners[tag]
+            cfg = runner.cfg
+            hist = np.zeros((n_class, n_class), np.int64)
+            t0 = time.perf_counter()
+            for tg, ((gt, rgb, maps), (h, w), k) in zip(tgrids, scenes):
+                mb = upsample_bucket(tg, bucket)
+                class_valid = np.arange(kmax) < k
+                rgb_b = resize_rgb(rgb, (bucket, bucket)).astype(np.float32)
+                m = jnp.asarray(mb)[None]
+                if cfg.postprocess.crf_xy_gt_scale:
+                    scale = np.asarray(
+                        [[bucket / w, bucket / h]], np.float32
+                    )
+                else:
+                    scale = np.ones((1, 2), np.float32)
+                labels = runner._post(
+                    m, m, jnp.asarray([True]),
+                    jnp.asarray(class_valid)[None],
+                    jnp.asarray(rgb_b)[None], jnp.asarray(scale),
+                )
+                pred = runner.finalize_image(
+                    np.asarray(labels[0, 1]), list(range(1, k + 1)), (h, w)
+                )
+                hist += fast_hist(gt.flatten(), pred.flatten(), n_class)
+            m_val = scores_from_hist(hist, names)["Mean IoU"]
+            miou[seed][tag] = float(m_val)
+            print(f"[synth-gate] seed {seed} {tag}: mIoU={m_val:.4f}  "
+                  f"delta={(m_val - anchor) * 100:+.3f} pts  "
+                  f"[{time.perf_counter() - t0:.1f}s]")
+
+    # ----- aggregate over seeds ------------------------------------------
+    stats, failures, marginal = {}, [], []
+    for tag, *_ in device_grid:
+        deltas = [
+            (miou[s][tag] - miou[s]["anchor_host"]) * 100 for s in seeds
+        ]
+        mean = float(np.mean(deltas))
+        lo, hi = float(np.min(deltas)), float(np.max(deltas))
+        ok = abs(mean) <= args.budget
+        worst_ok = max(abs(lo), abs(hi)) <= args.budget
+        stats[tag] = {
+            "deltas_pts": [round(d, 3) for d in deltas],
+            "mean_pts": round(mean, 3),
+            "range_pts": [round(lo, 3), round(hi, 3)],
+            "pass_mean": ok, "pass_worst_seed": worst_ok,
+        }
         if not ok:
             failures.append(tag)
-        results[tag] = float(miou)
-        print(f"[synth-gate] {tag}: mIoU={miou:.4f}  delta={delta:+.3f} pts"
-              f"  {'PASS' if ok else 'FAIL'}  "
-              f"[{time.perf_counter() - t0:.1f}s]")
+        elif not worst_ok:
+            marginal.append(tag)
+        print(f"[synth-gate] {tag}: mean {mean:+.3f} pts, "
+              f"range [{lo:+.3f}, {hi:+.3f}] over {len(seeds)} seeds  "
+              f"{'PASS' if ok else 'FAIL'}"
+              f"{' (marginal: worst seed exceeds budget)' if ok and not worst_ok else ''}")
 
     payload = {
-        "scenes": args.scenes, "seed": args.seed,
+        "scenes": args.scenes, "seeds": seeds,
         "backend": jax.default_backend(),
         "bilateral_impl": bilateral_impl,
-        "budget_pts": args.budget, "miou": results, "failures": failures,
+        "budget_pts": args.budget,
+        "miou_by_seed": miou, "stats": stats,
+        "failures_mean": failures, "marginal_worst_seed": marginal,
         "note": "synthetic scenes; measures ONLY the postprocess "
                 "approximations (bucket/subsample/bf16/background) vs the "
-                "exact host path — not model accuracy",
+                "single-resample exact-GT-res host anchor — not model "
+                "accuracy. Verdict = mean delta over seeds vs budget; "
+                "per-seed range reported because scene-distribution "
+                "variance is ~1 pt.",
     }
     if args.out:
         with open(args.out, "w") as f:
             json.dump(payload, f, indent=2)
         print(f"[synth-gate] wrote {args.out}")
-    print(f"[synth-gate] {'ALL WITHIN' if not failures else 'EXCEEDED'} "
-          f"budget ({args.budget} pts): failures={failures}")
+    print(f"[synth-gate] mean-delta verdict over {len(seeds)} seeds: "
+          f"{'ALL WITHIN' if not failures else 'EXCEEDED'} budget "
+          f"({args.budget} pts): failures={failures} marginal={marginal}")
 
 
 if __name__ == "__main__":

@@ -96,6 +96,23 @@ def main():
     )
     np.testing.assert_array_equal(tot, want)
     np.save(os.path.join(out, f"total_rank{pid}.npy"), tot)
+
+    # Cross-rank metric sync (reference SmoothedValue.all_reduce,
+    # utils.py:48-59): rank r contributes r+1 samples of value 10*(r+1);
+    # after sync every rank must report the identical global average.
+    from pnp_ovss_tpu.utils.logging import MetricLogger
+
+    logger = MetricLogger()
+    for _ in range(pid + 1):
+        logger.update(imgs_per_s=10.0 * (pid + 1))
+    logger.synchronize_between_processes()
+    m = logger.meters["imgs_per_s"]
+    want_count = sum(r + 1 for r in range(nproc))
+    want_total = sum((r + 1) * 10.0 * (r + 1) for r in range(nproc))
+    assert m.count == want_count, (m.count, want_count)
+    assert abs(m.global_avg - want_total / want_count) < 1e-9
+    print(f"dist child {pid}/{nproc} global_avg={m.global_avg:.6f}",
+          flush=True)
     print(f"dist child {pid}/{nproc} OK", flush=True)
 
 

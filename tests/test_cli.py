@@ -366,6 +366,20 @@ def test_cli_search_end_to_end(fake_voc, tmp_path):
     assert 1 <= best["layer"] <= 2
     cache_dir = os.path.join(out, "Search_Wsupervised_voc")
     assert len(os.listdir(cache_dir)) >= 1  # memoized reward JSONs
+    # Per-image token-contrast JSONs in the reference's exact layout
+    # (Dataset.py:166-210): Token_Contrast/max_att_block_num{L}_atthead{H}
+    # _withatt{T}/Token_contrast_sum/img_{id}.json with TCSum_/TCStd_ keys.
+    tc_root = os.path.join(out, "Token_Contrast")
+    cfg_dirs = os.listdir(tc_root)
+    assert cfg_dirs and all(d.startswith("max_att_block_num")
+                            for d in cfg_dirs)
+    sum_dir = os.path.join(tc_root, cfg_dirs[0], "Token_contrast_sum")
+    f0 = sorted(os.listdir(sum_dir))[0]
+    assert f0.startswith("img_") and f0.endswith(".json")
+    with open(os.path.join(sum_dir, f0)) as f:
+        tc = json.load(f)
+    assert any(k.startswith("TCSum_layer") for k in tc)
+    assert any(k.startswith("TCStd_layer") for k in tc)
 
 
 def test_cli_token_contrast_end_to_end(fake_voc, tmp_path):
@@ -405,6 +419,22 @@ def test_cli_in_the_wild(fake_voc, tmp_path):
     viz_dir = os.path.join(out, "viz")
     files = set(os.listdir(viz_dir))
     assert {"wild_street.jpeg", "wild_park.jpeg"} <= files
+
+
+def test_cli_host_parity_backend(fake_voc, tmp_path):
+    """--postprocess_backend host: grid-res maps, ONE bilinear resize to GT
+    inside finalize_image_parity, blur + native CRF at exact GT resolution
+    (the reference's per-image CPU postprocess, driver :1002-1074). Runs on
+    the finalize worker thread with zero device dispatch."""
+    out = str(tmp_path / "out_parity")
+    _run(fake_voc, out, ["--postprocess_backend", "host"])
+    hist_dir = os.path.join(out, "all_drop_hist_with_filtered_caption")
+    files = sorted(os.listdir(hist_dir))
+    assert len(files) == 5
+    for f in files:
+        h = np.load(os.path.join(hist_dir, f))
+        assert h.shape == (21, 21)
+        assert h.sum() == 60 * 80  # exact-GT-res hist, every pixel counted
 
 
 def test_cli_device_eval_mode_mesh(fake_voc, tmp_path):

@@ -299,6 +299,35 @@ def test_xy_scale_equals_scaled_constants():
     np.testing.assert_array_equal(a, b)
 
 
+def test_xy_scale_per_axis():
+    """Per-axis xy_scale=(sx, sy): the square bucket resize is anisotropic
+    for non-square images, so the runner passes (bucket/gt_w, bucket/gt_h).
+    Contract pins: (a) (f, f) == scalar f; (b) axis ordering — running
+    (sx, sy) on the transposed scene with swapped scales must give the
+    transposed labels (catches any x/y mix-up in features or kernels)."""
+    rng = np.random.RandomState(9)
+    image, logits = _scene_textured(rng, 32, 48)
+    cfg = CRFConfig(num_iters=4)
+    f = 0.448
+    a = np.asarray(mean_field_crf(
+        jnp.asarray(logits), jnp.asarray(image), cfg,
+        bilateral_impl="reference", xy_scale=f))
+    b = np.asarray(mean_field_crf(
+        jnp.asarray(logits), jnp.asarray(image), cfg,
+        bilateral_impl="reference", xy_scale=jnp.asarray([f, f])))
+    np.testing.assert_array_equal(a, b)
+
+    sx, sy = 0.6, 0.3
+    direct = np.asarray(mean_field_crf(
+        jnp.asarray(logits), jnp.asarray(image), cfg,
+        bilateral_impl="reference", xy_scale=jnp.asarray([sx, sy])))
+    transposed = np.asarray(mean_field_crf(
+        jnp.asarray(np.swapaxes(logits, 1, 2)),
+        jnp.asarray(np.swapaxes(image, 0, 1)), cfg,
+        bilateral_impl="reference", xy_scale=jnp.asarray([sy, sx])))
+    np.testing.assert_array_equal(direct, transposed.T)
+
+
 def test_subsampled_bilateral_close_to_exact():
     """Strided-support CRF labels ~= exact CRF labels on structured input."""
     rng = np.random.RandomState(5)

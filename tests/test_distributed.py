@@ -49,3 +49,11 @@ def test_two_process_distributed_reduction(tmp_path):
     t0 = np.load(tmp_path / "total_rank0.npy")
     t1 = np.load(tmp_path / "total_rank1.npy")
     np.testing.assert_array_equal(t0, t1)  # ranks agree on the global total
+    # Metric sync: both ranks print the SAME cross-rank global average
+    # (reference SmoothedValue.synchronize_between_processes).
+    lines = [
+        next(ln for ln in out.splitlines() if "global_avg=" in ln)
+        for out in outs
+    ]
+    avgs = {ln.split("global_avg=")[1] for ln in lines}
+    assert len(avgs) == 1, lines

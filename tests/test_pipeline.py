@@ -96,9 +96,9 @@ def test_runner_mesh_parity(setup):
         jnp.asarray(cap.attention_mask),
         jnp.asarray(cap.pool_matrix),
     )
-    maps_s = r_single._attribution(*args)
-    maps_m = r_mesh._attribution(*mesh_mod.shard_batch(mesh, args))
-    for a, b in zip(maps_s, maps_m):
+    bucket_s, grid_s = r_single._attribution(*args)
+    bucket_m, grid_m = r_mesh._attribution(*mesh_mod.shard_batch(mesh, args))
+    for a, b in zip(bucket_s + grid_s, bucket_m + grid_m):
         scale = float(jnp.abs(a).max()) + 1e-12
         diff = float(jnp.abs(a - b).max()) / scale
         # Different batch partitionings only re-tile the row dimension of

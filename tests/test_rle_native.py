@@ -100,6 +100,20 @@ def test_polygons_match_python(seed):
     np.testing.assert_array_equal(got_native, got_py)
 
 
+def test_odd_length_polygon_truncated_identically():
+    """A dangling odd coordinate is truncated to len//2 vertex pairs by
+    BOTH rasterisers (the Python path used to build mismatched xs/ys and
+    raise, breaking fallback equivalence on malformed annotations)."""
+    square = [2.0, 2.0, 10.0, 2.0, 10.0, 10.0, 2.0, 10.0]
+    odd = square + [99.0]  # malformed: 4.5 "vertices"
+    got_native = rle.rasterize_polygon([odd], 14, 14)
+    got_py = rle._rasterize_polygon_py([odd], 14, 14)
+    np.testing.assert_array_equal(got_native, got_py)
+    np.testing.assert_array_equal(
+        got_py, rle._rasterize_polygon_py([square], 14, 14)
+    )
+
+
 def test_degenerate_polygon_ignored():
     # <3 vertices: both paths return empty masks.
     np.testing.assert_array_equal(

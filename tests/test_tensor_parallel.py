@@ -76,6 +76,21 @@ def test_partition_spec_rules(tiny_model):
     assert b5["attention"]["query"]["kernel"] == P()
 
 
+def test_partition_spec_segment_matching():
+    """Rules match whole path SEGMENTS, not substrings: a module whose
+    name merely contains 'key' / 'value' must stay replicated, and
+    'attn/proj' must not match a 'proj' outside an 'attn' parent."""
+    shape = (8, 8)
+    assert mesh_mod._leaf_spec("enc/key/kernel", shape, 2) == P(None, "model")
+    assert mesh_mod._leaf_spec("enc/key_pool/kernel", shape, 2) == P()
+    assert mesh_mod._leaf_spec("enc/value_head/bias", (8,), 2) == P()
+    assert mesh_mod._leaf_spec(
+        "blocks/attn/proj/kernel", shape, 2) == P("model", None)
+    assert mesh_mod._leaf_spec("blocks/proj/kernel", shape, 2) == P()
+    # 'kernel'/'bias' must be the LEAF segment, not an interior module.
+    assert mesh_mod._leaf_spec("query/kernel_stats/scale", shape, 2) == P()
+
+
 def _gradcam_step(cfg, model):
     def apply_fn(p, im, i, m, cross_tap):
         return model.apply(p, im, i, m, cross_tap=cross_tap)
