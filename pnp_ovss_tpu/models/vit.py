@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from pnp_ovss_tpu.config import ViTConfig
 from pnp_ovss_tpu.ops import attention as attn_ops
+from pnp_ovss_tpu.ops import flash_attention as _flash
 
 
 class ViTSelfAttention(nn.Module):
@@ -38,6 +39,21 @@ class ViTSelfAttention(nn.Module):
         dtype = jnp.dtype(c.dtype)
         b, s, _ = x.shape
         qkv = nn.Dense(3 * c.hidden_size, dtype=dtype, name="qkv")(x)
+        if self.impl == "pallas" and _flash.flat_supported(
+            s, c.num_heads, c.head_dim
+        ):
+            # Fused flat-layout kernel: q/k/v are plain channel slices of
+            # the qkv output ([B, S, H*D]; head-major within, matching the
+            # [B, S, 3, H, D] reshape below) and the result feeds proj
+            # directly — zero relayouts. At 336px the attention matmuls
+            # are sub-ms; the blockwise kernel's cost was program count +
+            # the six per-layer transposes (NOTES round-2 bisect).
+            hsz = c.hidden_size
+            out = _flash.flash_mha_flat(
+                qkv[..., :hsz], qkv[..., hsz:2 * hsz], qkv[..., 2 * hsz:],
+                num_heads=c.num_heads, out_dtype=dtype,
+            )
+            return nn.Dense(c.hidden_size, dtype=dtype, name="proj")(out)
         qkv = qkv.reshape(b, s, 3, c.num_heads, c.head_dim)
         q, k, v = (
             jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)

@@ -165,8 +165,12 @@ def mean_field_crf_variants(
 
     q0 = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
     u = -jnp.log(jnp.clip(q0, unary_clip, 1.0))  # [V, C, H, W]
-    # [N, V*C] layout: pixel-major rows, variant blocks along the lanes.
-    u_flat = u.reshape(v * c, n).T
+    # [V*C, N] layout: channel blocks on the SUBLANE axis (58 -> 64 pad),
+    # the full-width pixel axis on the LANES (N is a multiple of 128).
+    # The transposed layout [N, V*C] pads 58 channel lanes to 128 in every
+    # elementwise op, softmax AND the per-iteration kernel matmul — a
+    # ~2.2x VPU/MXU issue-slot waste across the whole loop.
+    u_flat = u.reshape(v * c, n)
 
     scale_xy = jnp.broadcast_to(
         jnp.asarray(xy_scale, jnp.float32).reshape(-1), (2,)
@@ -186,10 +190,16 @@ def mean_field_crf_variants(
 
         def take_j(x):  # [N, C] -> [M, C]
             return x[grid_idx]
+
+        def take_j_cols(x):  # [C', N] -> [C', M]
+            return x[:, grid_idx]
     else:
         feats_bi_j = feats_bi
 
         def take_j(x):
+            return x
+
+        def take_j_cols(x):
             return x
 
     if bilateral_impl == "pallas":
@@ -216,19 +226,32 @@ def mean_field_crf_variants(
 
     use_nystrom = bilateral_mode == "nystrom" and s > 1
     if materialize_kernel and not use_nystrom and s > 1:
+        # Materialise the TRANSPOSED kernel K^T [M, N] and run each
+        # iteration as v^T [C', M] @ K^T — the output is [C', N] with the
+        # full-width pixel axis on the MXU lanes (N is a multiple of 128)
+        # and the C' ~ 58 channel axis on sublanes (58 -> 64, 1.1x pad).
+        # The untransposed form K [N, M] @ v [M, C'] pads C' onto the
+        # LANES (58 -> 128, 2.2x pad), wasting over half the MXU issue
+        # slots of the dominant per-iteration matmul. Same math, same
+        # exps; the per-iteration [C', N] transpose back is ~13 MB of
+        # bandwidth — noise against the N*M matmul.
         x2 = jnp.sum(feats_bi * feats_bi, axis=-1)
         d2 = (
-            x2[:, None]
-            + x2[grid_idx][None, :]
-            - 2.0 * jnp.dot(feats_bi, feats_bi_j.T,
+            x2[grid_idx][:, None]
+            + x2[None, :]
+            - 2.0 * jnp.dot(feats_bi_j, feats_bi.T,
                             preferred_element_type=jnp.float32,
                             precision=jax.lax.Precision.HIGHEST)
         )
-        k_mat = jnp.exp(-0.5 * jnp.maximum(d2, 0.0)).astype(jnp.bfloat16)
+        # bf16 operands ride the MXU at 2x rate on TPU; the CPU backend
+        # (tests) has no bf16 dot thunk, so it keeps f32 operands.
+        mm_dtype = (jnp.float32 if jax.default_backend() == "cpu"
+                    else jnp.bfloat16)
+        kt_mat = jnp.exp(-0.5 * jnp.maximum(d2, 0.0)).astype(mm_dtype)
 
-        def bilateral_apply(v_flat):  # [N, C] -> [N, C]
+        def bilateral_apply(q_cn):  # [C', N] -> [C', N], no transposes
             return jnp.dot(
-                k_mat, take_j(v_flat).astype(jnp.bfloat16),
+                take_j_cols(q_cn).astype(mm_dtype), kt_mat,
                 preferred_element_type=jnp.float32,
             )
     elif use_nystrom:
@@ -261,17 +284,22 @@ def mean_field_crf_variants(
             chol, jnp.eye(m_a, dtype=jnp.float32)
         )
 
-        def bilateral_apply(v_flat):  # [N, C] -> [N, C]
-            y = kernel_matmul(fa, v_flat, feats_bi)  # K_AN @ v
+        def bilateral_apply(q_cn):  # [C', N] -> [C', N]
+            # Non-default path: the lattice-style matmuls take row-major
+            # [rows, C] values, so transpose at the boundary (~13 MB/iter
+            # of bandwidth — noise next to the kernel work).
+            y = kernel_matmul(fa, q_cn.T, feats_bi)  # K_AN @ v
             z = jnp.dot(k_aa_inv, y, preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST)
-            return kernel_matmul(feats_bi, z, fa)  # K_NA @ z
+            return kernel_matmul(feats_bi, z, fa).T  # K_NA @ z
     else:
-        def bilateral_apply(v_flat):
-            return kernel_matmul(feats_bi, take_j(v_flat), feats_bi_j)
+        def bilateral_apply(q_cn):  # [C', N] -> [C', N]
+            return kernel_matmul(
+                feats_bi, take_j(q_cn.T), feats_bi_j
+            ).T
 
     # Degrees / symmetric normalisers (constant across iterations).
-    deg_bi = bilateral_apply(jnp.ones((n, 1), jnp.float32))
+    deg_bi = bilateral_apply(jnp.ones((1, n), jnp.float32))  # [1, N]
     if exclude_self:
         deg_bi = deg_bi - 1.0
     norm_bi = jax.lax.rsqrt(jnp.maximum(deg_bi, 1e-20))
@@ -282,27 +310,27 @@ def mean_field_crf_variants(
         deg_sp = deg_sp - 1.0
     norm_sp = jax.lax.rsqrt(jnp.maximum(deg_sp, 1e-20))  # [H, W]
 
-    def spatial_apply_flat(q_flat):  # [N, V*C] -> [N, V*C]
-        q_img = q_flat.T.reshape(v * c, h, w)
-        out = spatial_gaussian_apply(q_img, pos_xy_std)
-        return out.reshape(v * c, n).T
+    def spatial_apply_flat(q_cn):  # [C', N] -> [C', N]
+        out = spatial_gaussian_apply(q_cn.reshape(v * c, h, w), pos_xy_std)
+        return out.reshape(v * c, n)
 
-    norm_sp_flat = norm_sp.reshape(n, 1)
+    norm_sp_flat = norm_sp.reshape(1, n)
 
-    def body(_, q_flat):
+    def body(_, q_cn):
         # Bilateral: n_i * K~(n_j * q_j) where K~ is the exact rectangular
         # kernel (strided) or the Nystrom reconstruction.
-        m_bi = norm_bi * bilateral_apply(norm_bi * q_flat)
+        m_bi = norm_bi * bilateral_apply(norm_bi * q_cn)
         if exclude_self:
-            m_bi = m_bi - (norm_bi * norm_bi) * q_flat
+            m_bi = m_bi - (norm_bi * norm_bi) * q_cn
         m_sp = _normalised_apply(
-            spatial_apply_flat, q_flat, norm_sp_flat, exclude_self
+            spatial_apply_flat, q_cn, norm_sp_flat, exclude_self
         )
         energy = -u_flat + cfg.bi_w * m_bi + cfg.pos_w * m_sp
-        # Mean-field softmax runs per variant block.
-        energy = energy.reshape(n, v, c)
-        return jax.nn.softmax(energy, axis=-1).reshape(n, v * c)
+        # Mean-field softmax runs per variant block: reduce over the
+        # channel axis (sublanes) with the pixel axis dense on lanes.
+        energy = energy.reshape(v, c, n)
+        return jax.nn.softmax(energy, axis=1).reshape(v * c, n)
 
-    q = jax.lax.fori_loop(0, cfg.num_iters, body, q0.reshape(v * c, n).T)
-    labels = jnp.argmax(q.reshape(n, v, c), axis=-1).astype(jnp.int32)
-    return labels.T.reshape(v, h, w)
+    q = jax.lax.fori_loop(0, cfg.num_iters, body, q0.reshape(v * c, n))
+    labels = jnp.argmax(q.reshape(v, c, n), axis=1).astype(jnp.int32)
+    return labels.reshape(v, h, w)

@@ -34,6 +34,117 @@ def supported(q: jax.Array) -> bool:
     return d in (64, 128) and s >= 128
 
 
+# ---------------------------------------------------------------------------
+# Fused flat-layout kernel (moderate sequence lengths)
+# ---------------------------------------------------------------------------
+#
+# At 336px the ViT sequence is 443 tokens (padded 512) with dh=64: the
+# attention matmuls are ~0.5 ms of MXU work for the whole 24-layer encode,
+# yet attention measured ~68 ms — the cost is per-program overhead (the
+# blockwise kernel launches B*H*(S/BLOCK_Q) programs per layer) plus the six
+# [B, S, H, D] <-> [B, H, S, D] relayouts per layer around it (round-2
+# bisect, NOTES "Attribution perf investigation").
+#
+# This kernel removes both:
+# - q/k/v stay in the qkv Dense's own layout — three [B, S, H*D] slices,
+#   no transposes in or out; heads are LANE slices (d=64-aligned) inside
+#   the kernel,
+# - one program per (batch, head-group) computes HEADS_PER_PROGRAM heads
+#   over the WHOLE sequence (scores [S_pad, S_pad] live in VMEM), so the
+#   program count drops 4x vs the blockwise grid (hb=2; measured
+#   33.5 -> 38.8 img/s end-to-end, while hb=4 regressed to 31.8 —
+#   per-program VMEM working set beats further program-count reduction).
+#
+# VMEM bounds it to S_pad <= ~640 (scores tile is S_pad^2 f32); longer
+# sequences (768px -> 2305 tokens) stay on the blockwise kernel below.
+
+HEADS_PER_PROGRAM = 2
+_FLAT_MAX_SPAD = 640
+
+
+def _flat_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, hb: int, d: int,
+                 scale: float):
+    """One (batch, head-group) program: full-sequence attention for hb heads.
+
+    Refs:
+      len_ref: SMEM (1,) int32 — true (unpadded) sequence length.
+      q_ref/k_ref/v_ref: [1, S_pad, hb*D] VMEM (flat head-group slices)
+      o_ref: [1, S_pad, hb*D] VMEM
+    """
+    true_len = len_ref[0]
+    s_pad = q_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), dimension=1)
+    neg = jnp.float32(_NEG_INF)
+    for i in range(hb):  # static unroll: head slices are lane-aligned
+        q = q_ref[0, :, i * d:(i + 1) * d].astype(jnp.float32) * scale
+        k = k_ref[0, :, i * d:(i + 1) * d].astype(jnp.float32)
+        v = v_ref[0, :, i * d:(i + 1) * d].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        s = jnp.where(col < true_len, s, neg)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, :, i * d:(i + 1) * d] = jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def flat_supported(s: int, h: int, d: int) -> bool:
+    s_pad = -(-s // 128) * 128
+    return (
+        d in (64, 128)
+        and s >= 128
+        and s_pad <= _FLAT_MAX_SPAD
+        and h % HEADS_PER_PROGRAM == 0
+        # Mosaic block lanes must be a multiple of 128 (hb=1 x d=64 is
+        # rejected by the lowering; hb=2 measured fastest end-to-end:
+        # 33.5 -> 38.8 img/s vs hb=4's 31.8).
+        and (HEADS_PER_PROGRAM * d) % 128 == 0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "out_dtype"))
+def flash_mha_flat(q2: jax.Array, k2: jax.Array, v2: jax.Array, *,
+                   num_heads: int, out_dtype=None):
+    """Fused attention on flat [B, S, H*D] q/k/v (no head transposes).
+
+    Returns [B, S, H*D] in ``out_dtype`` (defaults to q2.dtype) — feed it
+    straight into the output projection.
+    """
+    out_dtype = out_dtype or q2.dtype
+    b, s, hd = q2.shape
+    h = num_heads
+    d = hd // h
+    scale = 1.0 / (d**0.5)
+    hb = HEADS_PER_PROGRAM
+
+    s_pad = -(-s // 128) * 128
+    pad = [(0, 0), (0, s_pad - s), (0, 0)]
+    qf = jnp.pad(q2, pad)
+    kf = jnp.pad(k2, pad)
+    vf = jnp.pad(v2, pad)
+    true_len = jnp.full((1,), s, jnp.int32)
+
+    grid = (b, h // hb)
+    kernel = functools.partial(_flat_kernel, hb=hb, d=d, scale=scale)
+    spec = pl.BlockSpec(
+        (1, s_pad, hb * d), lambda bi, hg, *_: (bi, 0, hg),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[spec, spec, spec],
+            out_specs=spec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, hd), out_dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(true_len, qf, kf, vf)
+    return out[:, :s, :]
+
+
 def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, kv_len_padded: int,
                   scale: float):
     """One (batch*head, q-block) program: online-softmax over k blocks.

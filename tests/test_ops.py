@@ -98,3 +98,49 @@ def test_flash_attention_matches_xla():
     want = np.asarray(attn_ops.mha_xla(q, k, v))
     got = np.asarray(flash_mha(q, k, v))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_mha_flat_matches_xla():
+    """Fused flat-layout kernel (q/k/v as [B, S, H*D] head-major slices,
+    true length 443 < padded 512) == transposed XLA attention."""
+    from pnp_ovss_tpu.ops.flash_attention import (
+        flash_mha_flat, flat_supported,
+    )
+
+    rng = np.random.RandomState(7)
+    b, s, h, d = 2, 443, 4, 64
+    q2 = jnp.asarray(rng.randn(b, s, h * d), jnp.float32)
+    k2 = jnp.asarray(rng.randn(b, s, h * d), jnp.float32)
+    v2 = jnp.asarray(rng.randn(b, s, h * d), jnp.float32)
+    assert flat_supported(s, h, d)
+    got = np.asarray(flash_mha_flat(q2, k2, v2, num_heads=h))
+
+    def split(x):  # [B, S, H*D] -> [B, H, S, D]
+        return jnp.transpose(x.reshape(b, s, h, d), (0, 2, 1, 3))
+
+    want_t = attn_ops.mha_xla(split(q2), split(k2), split(v2))
+    want = np.asarray(
+        jnp.transpose(want_t, (0, 2, 1, 3)).reshape(b, s, h * d)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_vit_attention_flat_path_matches_xla_impl():
+    """ViTSelfAttention with impl='pallas' (flat kernel at supported
+    shapes) must equal impl='xla' on the same params."""
+    import jax
+
+    from pnp_ovss_tpu.config import ViTConfig
+    from pnp_ovss_tpu.models.vit import ViTSelfAttention
+
+    cfg = ViTConfig(
+        image_size=16 * 16, patch_size=16, hidden_size=256, num_heads=4,
+        num_layers=1, dtype="float32",
+    )
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.randn(2, 257, 256), jnp.float32)
+    mod_x = ViTSelfAttention(cfg, impl="xla")
+    params = mod_x.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(mod_x.apply(params, x))
+    got = np.asarray(ViTSelfAttention(cfg, impl="pallas").apply(params, x))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
