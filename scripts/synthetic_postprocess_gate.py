@@ -132,6 +132,14 @@ def main():
                    help="pin to CPU (reference bilateral impl)")
     args = p.parse_args()
 
+    # Line-buffer stdout so progress survives nohup/file redirection, and
+    # arm a watchdog traceback — the axon tunnel can hang a dispatch
+    # silently and a 3-hour run with no output is undebuggable.
+    import faulthandler
+
+    sys.stdout.reconfigure(line_buffering=True)
+    faulthandler.dump_traceback_later(1200, repeat=True, file=sys.stderr)
+
     import jax
 
     if args.cpu:
@@ -206,13 +214,17 @@ def main():
         # ----- anchor: host-parity path at exact GT resolution -----------
         t0 = time.perf_counter()
         hist_anchor = np.zeros((n_class, n_class), np.int64)
-        for tg, ((gt, rgb, maps), (h, w), k) in zip(tgrids, scenes):
+        for i, (tg, ((gt, rgb, maps), (h, w), k)) in enumerate(
+                zip(tgrids, scenes)):
             class_valid = np.arange(kmax) < k
             pred = anchor_runner.finalize_image_parity(
                 tg, True, class_valid, list(range(1, k + 1)), rgb, (h, w),
                 rescale=False,
             )
             hist_anchor += fast_hist(gt.flatten(), pred.flatten(), n_class)
+            if (i + 1) % 12 == 0:
+                print(f"[synth-gate]   anchor {i + 1}/{len(scenes)} "
+                      f"[{time.perf_counter() - t0:.0f}s]")
         anchor = scores_from_hist(hist_anchor, names)["Mean IoU"]
         miou[seed] = {"anchor_host": float(anchor)}
         print(f"[synth-gate] seed {seed} anchor (host, exact GT-res CRF) "

@@ -8,9 +8,15 @@ re-done the JAX way). Must run before jax initialises its backends.
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # force: CI env may pin a TPU platform
+# PNP_GOLDEN_TPU=1 keeps the real TPU backend so the on-device golden can
+# run (invoke tests/test_golden_tpu.py ALONE with it — everything else in
+# the suite expects the 8-device CPU mesh).
+_USE_TPU = bool(os.environ.get("PNP_GOLDEN_TPU"))
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # force: CI may pin a TPU platform
 flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
+if not _USE_TPU and "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
@@ -21,7 +27,10 @@ import jax  # noqa: E402
 
 # The axon TPU plugin wins over the JAX_PLATFORMS env var; the config
 # update is the reliable way to pin tests to the virtual CPU mesh.
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 # Full-precision matmuls for numeric oracle comparisons (the default
 # precision truncates f32 matmul inputs even on CPU).
