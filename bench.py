@@ -56,7 +56,7 @@ def main():
         cfg,
         params,
         attn_impl="pallas" if on_tpu else "xla",
-        bucket_size=int(os.environ.get("BENCH_BUCKET", 224 if on_tpu else 32)),
+        bucket_size=int(os.environ.get("BENCH_BUCKET", 192 if on_tpu else 32)),
         bilateral_impl="pallas" if on_tpu else "reference",
     )
 
@@ -68,8 +68,19 @@ def main():
     class_lists = [
         [nms[i % 8], nms[(i + 3) % 8], nms[(i + 5) % 8]] for i in range(batch)
     ]
+    # Fitted text bucket, as the production CLI runs (the reference pads
+    # every caption to 500 tokens; masked positions are inert, and the
+    # BERT fwd+bwd is linear in the padded length). BENCH_TEXT_LEN=500
+    # restores strict reference padding.
+    from pnp_ovss_tpu.text.captions import fitted_text_len
+
+    text_len = int(os.environ.get(
+        "BENCH_TEXT_LEN",
+        fitted_text_len(class_lists, tok,
+                        max_text_len=cfg.model.max_text_len),
+    ))
     cap = build_caption_batch(
-        class_lists, tok, max_text_len=cfg.model.max_text_len,
+        class_lists, tok, max_text_len=text_len,
         max_classes=cfg.max_classes,
     )
     # uint8 images, CLIP-normalised on device (the production CLI path).

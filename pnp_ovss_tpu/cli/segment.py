@@ -64,7 +64,11 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="LAVIS/BLIP torch checkpoint (.pth) to convert")
     p.add_argument("--vocab", default=None,
                    help="bert-base-uncased vocab.txt path")
-    p.add_argument("--bucket_size", type=int, default=224,
+    # 192 promoted to default in round 3: +12% throughput over 224
+    # (43.6 vs 38.9 img/s) while the 5-seed synthetic gate keeps it
+    # +1.37 pts ABOVE the reference-semantics host anchor (worst seed
+    # +0.32; SYNTH_GATE.json strided_s4_b192).
+    p.add_argument("--bucket_size", type=int, default=192,
                    help="device postprocess resolution")
     p.add_argument("--crf_mode", default=None,
                    choices=["strided", "nystrom"],
@@ -143,9 +147,13 @@ def run_in_the_wild(args, cfg, runner, tok, meta):
             for r in raws
         ]
         pad = bs - len(chunk)
+        from pnp_ovss_tpu.text.captions import fitted_text_len
+
         cap = build_caption_batch(
             [classes] * (len(chunk) + pad), tok,
-            max_text_len=cfg.model.max_text_len,
+            max_text_len=fitted_text_len(
+                [classes], tok, max_text_len=cfg.model.max_text_len
+            ),
             max_classes=cfg.max_classes,
         )
         sizes = [r.shape[:2] for r in raws]
@@ -516,6 +524,21 @@ def main(argv=None):
                 ),
             )
 
+        # ONE fitted text length for the whole run (largest caption over
+        # all records, rounded to a 64 bucket): the reference pads every
+        # caption to 500 tokens (blip_image_text_matching.py:48) but real
+        # captions are ~10-60, and the BERT fwd+bwd is linear in the
+        # padded length — identical results (masked positions are inert),
+        # one compile, a fraction of the fusion-encoder cost.
+        from pnp_ovss_tpu.text.captions import fitted_text_len
+
+        text_len = fitted_text_len(
+            [labels.lookup(r.gpt_key)[1] for r in records], tok,
+            max_text_len=cfg.model.max_text_len,
+        )
+        log(f"fitted text length: {text_len} "
+            f"(cap {cfg.model.max_text_len})")
+
         for batch in logger.log_every(loader, 10, header="segment",
                                       total=len(loader)):
             t0 = time.perf_counter()
@@ -528,7 +551,7 @@ def main(argv=None):
             pad = bs - len(batch.records)
             cap = build_caption_batch(
                 class_name_lists + [class_name_lists[-1]] * pad, tok,
-                max_text_len=cfg.model.max_text_len,
+                max_text_len=text_len,
                 max_classes=cfg.max_classes,
             )
             images_np = np.concatenate(

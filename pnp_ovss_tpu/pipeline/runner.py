@@ -111,7 +111,7 @@ class SegmentationRunner:
         *,
         mesh=None,
         attn_impl: str = "pallas",
-        bucket_size: int = 224,
+        bucket_size: int = 192,  # round-3 default (SYNTH_GATE + bench)
         bilateral_impl: str = "pallas",
     ):
         self.cfg = cfg

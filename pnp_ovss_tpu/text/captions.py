@@ -36,6 +36,35 @@ class CaptionBatch:
     class_names: List[List[str]]  # ragged, pre-padding
 
 
+def fitted_text_len(
+    class_lists: Sequence[Sequence[str]],
+    tokenizer: WordPieceTokenizer,
+    *,
+    max_text_len: int,
+    granularity: int = 64,
+) -> int:
+    """Smallest padded text length (multiple of ``granularity``, capped at
+    ``max_text_len``) that fits every caption in the batch.
+
+    The reference pads every caption to max_txt_len=500
+    (blip_image_text_matching.py:48) although real captions are ~10-60
+    tokens; the BERT fwd+bwd cost is linear in the padded length on the
+    text axis and the attention mask makes the padded positions exactly
+    inert (the (1-mask)*-10000 bias underflows to probability 0 in f32),
+    so a fitted bucket gives identical results at a fraction of the
+    fusion-encoder cost. Each distinct bucket compiles once (granularity
+    64 keeps that to <= 8 programs per model config).
+    """
+    need = 0
+    for classes in class_lists:
+        n = NUM_PREFIX_TOKENS + 2  # [ENC] + prefix + [SEP]
+        for name in classes:
+            n += len(tokenizer.tokenize(name))
+        need = max(need, n)
+    fitted = -(-need // granularity) * granularity
+    return min(max_text_len, max(fitted, granularity))
+
+
 def build_caption_batch(
     class_lists: Sequence[Sequence[str]],
     tokenizer: WordPieceTokenizer,

@@ -33,5 +33,9 @@ else:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 # Full-precision matmuls for numeric oracle comparisons (the default
-# precision truncates f32 matmul inputs even on CPU).
-jax.config.update("jax_default_matmul_precision", "highest")
+# precision truncates f32 matmul inputs even on CPU). NOT in golden-TPU
+# mode: the golden pins PRODUCTION numerics, and flipping the global
+# precision would re-run the pipeline as a different program than the
+# captured one.
+if not _USE_TPU:
+    jax.config.update("jax_default_matmul_precision", "highest")

@@ -69,6 +69,42 @@ def test_runner_end_to_end(setup):
     assert set(np.unique(out)) <= {0, 1, 3}
 
 
+def test_fitted_text_len_equivalence(setup):
+    """A fitted text bucket must give the same attribution maps as the
+    full reference padding (masked positions are inert): the text-length
+    optimisation may not change results, only cost."""
+    from pnp_ovss_tpu.text.captions import fitted_text_len
+
+    cfg, params, tok = setup
+    runner = SegmentationRunner(
+        cfg, params, attn_impl="xla", bucket_size=32,
+        bilateral_impl="reference",
+    )
+    rng = np.random.RandomState(3)
+    b = 2
+    images = rng.rand(b, cfg.img_size, cfg.img_size, 3).astype(np.float32)
+    class_lists = [["dog", "cat"], ["grass"]]
+    fit = fitted_text_len(
+        class_lists, tok, max_text_len=cfg.model.max_text_len,
+        granularity=8,
+    )
+    assert fit < cfg.model.max_text_len  # the test exercises a real cut
+
+    outs = []
+    for t in (fit, cfg.model.max_text_len):
+        cap = build_caption_batch(
+            class_lists, tok, max_text_len=t, max_classes=cfg.max_classes,
+        )
+        args = (
+            jnp.asarray(images), jnp.asarray(cap.input_ids),
+            jnp.asarray(cap.attention_mask), jnp.asarray(cap.pool_matrix),
+        )
+        (m0, ma), _ = runner._attribution(*args)
+        outs.append((np.asarray(m0), np.asarray(ma)))
+    for a, bb in zip(*outs):
+        np.testing.assert_allclose(a, bb, rtol=1e-4, atol=1e-6)
+
+
 def test_runner_mesh_parity(setup):
     """Sharded 8-device run must equal the single-device run exactly."""
     cfg, params, tok = setup
