@@ -45,7 +45,24 @@ def main():
 
     cfg = PipelineConfig.reference_default()
     on_tpu = jax.default_backend() not in ("cpu",)
-    batch = int(os.environ.get("BENCH_BATCH", cfg.batch_size if on_tpu else 2))
+    # BENCH_IMG_SIZE=768 measures the long-sequence path (2305-token ViT
+    # through the blockwise flash kernel — the reference cannot batch
+    # this at all, SURVEY §5); default batch drops to 8 there.
+    img_size = int(os.environ.get("BENCH_IMG_SIZE", cfg.img_size))
+    if img_size != cfg.img_size:
+        import dataclasses
+
+        from pnp_ovss_tpu.config import ViTConfig
+
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                vit=dataclasses.replace(cfg.model.vit, image_size=img_size),
+            ),
+        )
+    default_batch = (8 if img_size >= 768 else cfg.batch_size) if on_tpu else 2
+    batch = int(os.environ.get("BENCH_BATCH", default_batch))
 
     params = init_params(
         jax.random.PRNGKey(0), cfg.model,
@@ -116,7 +133,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "images_per_sec_336px_drop4_blurcrf_1chip",
+                "metric": f"images_per_sec_{img_size}px_drop4_blurcrf_1chip",
                 "value": round(imgs_per_sec, 3),
                 "unit": "img/s",
                 "vs_baseline": round(

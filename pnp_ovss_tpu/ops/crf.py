@@ -188,11 +188,19 @@ def mean_field_crf_variants(
         ).reshape(-1)
         feats_bi_j = feats_bi[grid_idx]
 
+        # The subset is a REGULAR stride (every s-th pixel per axis), so
+        # express it as strided slices over the [.., H, W] view instead of
+        # an indexed gather. Measured perf-neutral vs the gather at
+        # 192/s=4 (XLA already handled the constant-index gather well);
+        # kept because it drops the [M] index constant and states the
+        # structure directly.
         def take_j(x):  # [N, C] -> [M, C]
-            return x[grid_idx]
+            c = x.shape[-1]
+            return x.reshape(h, w, c)[::s, ::s].reshape(-1, c)
 
         def take_j_cols(x):  # [C', N] -> [C', M]
-            return x[:, grid_idx]
+            c = x.shape[0]
+            return x.reshape(c, h, w)[:, ::s, ::s].reshape(c, -1)
     else:
         feats_bi_j = feats_bi
 

@@ -81,12 +81,23 @@ def main():
     )
 
     def timed(name, fn, iters=3):
+        """Times DEVICE work: syncs on scalar sums, NOT full-array
+        transfers — np.asarray of the [B, K, Hb, Wb] maps costs ~10 s of
+        tunnel bandwidth per call and used to drown the compute in this
+        row (the pipeline never materialises those maps; only uint8
+        labels cross to the host)."""
+
+        def sync(out):
+            return jax.tree.map(
+                lambda x: float(jnp.asarray(x).astype(jnp.float32).sum()),
+                out,
+            )
+
         out = fn()  # warmup/compile
-        jax.tree.map(np.asarray, out)
+        sync(out)
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn()
-            jax.tree.map(np.asarray, out)
+            sync(fn())
         dt = (time.perf_counter() - t0) / iters
         print(f"{name:<28} {dt * 1e3:8.1f} ms/batch "
               f"{batch / dt:8.1f} img/s")
