@@ -241,8 +241,16 @@ def main(argv=None):
             names = [meta.nms[i - 1] for i in gt_ids]
         if not names:
             continue
+        from pnp_ovss_tpu.text.captions import fitted_text_len
+
         cap = build_caption_batch(
-            [names], tok, max_text_len=cfg.max_text_len, max_classes=28
+            [names], tok,
+            # Fitted 64-bucket (identical maps, fraction of the BERT
+            # fwd+bwd cost — see cli/segment.py).
+            max_text_len=fitted_text_len(
+                [names], tok, max_text_len=cfg.max_text_len
+            ),
+            max_classes=28,
         )
         img = transforms.preprocess_image(raw, cfg.vit.image_size)
         gc, _ = gc_fn(

@@ -86,9 +86,15 @@ def main(argv=None):
         names = [meta.nms[i - 1] for i in gt_ids]
         if len(names) < 2:
             continue
-        cap = build_caption_batch([names], tok,
-                                  max_text_len=cfg.max_text_len,
-                                  max_classes=28)
+        from pnp_ovss_tpu.text.captions import fitted_text_len
+
+        cap = build_caption_batch(
+            [names], tok,
+            max_text_len=fitted_text_len(
+                [names], tok, max_text_len=cfg.max_text_len
+            ),
+            max_classes=28,
+        )
         img = transforms.preprocess_image(raw, cfg.vit.image_size)
         gc, _ = gc_fn(jnp.asarray(img[None]), jnp.asarray(cap.input_ids),
                       jnp.asarray(cap.attention_mask))

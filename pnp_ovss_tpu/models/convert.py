@@ -251,7 +251,13 @@ def load_clip_checkpoint(path: str, cfg) -> Dict:
     """Load an OpenAI CLIP .pt checkpoint (jit archive or state dict)."""
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    except RuntimeError:
+        # OpenAI distributes ViT-L-14-336px.pt as a TorchScript archive,
+        # which torch.load rejects — torch.jit.load reads it and exposes
+        # the weights via state_dict().
+        obj = torch.jit.load(path, map_location="cpu")
     if hasattr(obj, "state_dict"):
         sd = obj.state_dict()
     else:

@@ -191,6 +191,41 @@ def test_clip_converter_matches_init_structure():
     assert conv_shapes == init_shapes
 
 
+def test_clip_torchscript_archive_loads(tmp_path):
+    """OpenAI ships ViT-L-14-336px.pt as a TorchScript archive (not a
+    plain pickle): load_clip_checkpoint must read it via torch.jit.load
+    and convert identically to the raw state dict."""
+    from pnp_ovss_tpu.models.convert import load_clip_checkpoint
+
+    cfg = CLIPConfig.tiny()
+    rng = np.random.RandomState(4)
+    sd = _tiny_clip_state_dict(cfg, rng)
+
+    class Holder(torch.nn.Module):
+        def forward(self):
+            return 0
+
+    root = Holder()
+    for k, v in sd.items():
+        parts = k.split(".")
+        m = root
+        for p in parts[:-1]:
+            if not hasattr(m, p):
+                m.add_module(p, Holder())
+            m = getattr(m, p)
+        m.register_buffer(parts[-1], torch.tensor(np.asarray(v)))
+    path = str(tmp_path / "clip_tiny.pt")
+    torch.jit.save(torch.jit.script(root), path)
+
+    got = load_clip_checkpoint(path, cfg)
+    want = convert_clip_state_dict(sd, cfg)
+    flat_g = jax.tree_util.tree_leaves_with_path(got)
+    flat_w = dict(jax.tree_util.tree_leaves_with_path(want))
+    assert len(flat_g) == len(flat_w)
+    for p, leaf in flat_g:
+        np.testing.assert_allclose(leaf, flat_w[p], rtol=1e-6, atol=1e-7)
+
+
 def test_clip_scorer_end_to_end():
     from pnp_ovss_tpu.cli.search import make_clip_scorer
 
