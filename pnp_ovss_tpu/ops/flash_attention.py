@@ -49,52 +49,77 @@ def supported(q: jax.Array) -> bool:
 # - q/k/v stay in the qkv Dense's own layout — three [B, S, H*D] slices,
 #   no transposes in or out; heads are LANE slices (d=64-aligned) inside
 #   the kernel,
-# - one program per (batch, head-group) computes HEADS_PER_PROGRAM heads
-#   over the WHOLE sequence (scores [S_pad, S_pad] live in VMEM), so the
-#   program count drops 4x vs the blockwise grid (hb=2; measured
+# - one program per (batch, head-group, q-block) computes
+#   HEADS_PER_PROGRAM heads with an online-softmax loop over 512-wide k
+#   blocks; at 336px (S_pad 512) that is ONE whole-sequence block and 4x
+#   fewer programs than the old blockwise grid (hb=2; measured
 #   33.5 -> 38.8 img/s end-to-end, while hb=4 regressed to 31.8 —
 #   per-program VMEM working set beats further program-count reduction).
-#
-# VMEM bounds it to S_pad <= ~640 (scores tile is S_pad^2 f32); longer
-# sequences (768px -> 2305 tokens) stay on the blockwise kernel below.
+#   At 768px (2305 tokens -> S_pad 2560) the same kernel streams k blocks
+#   with K/V held whole per head group (1.3 MB VMEM).
 
 HEADS_PER_PROGRAM = 2
-_FLAT_MAX_SPAD = 640
+_FLAT_BLOCK_Q = 512
+_FLAT_BLOCK_K = 512
 
 
 def _flat_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, hb: int, d: int,
                  scale: float):
-    """One (batch, head-group) program: full-sequence attention for hb heads.
+    """One (batch, head-group, q-block) program: attention for hb heads
+    over the q block, online-softmax over k blocks.
 
     Refs:
       len_ref: SMEM (1,) int32 — true (unpadded) sequence length.
-      q_ref/k_ref/v_ref: [1, S_pad, hb*D] VMEM (flat head-group slices)
-      o_ref: [1, S_pad, hb*D] VMEM
+      q_ref/o_ref: [1, BQ, hb*D] VMEM (flat head-group slices)
+      k_ref/v_ref: [1, S_pad, hb*D] VMEM (whole K/V for this head group)
+
+    At 336px (S_pad 512) the k loop runs ONCE — whole-sequence attention
+    per program; at 768px (S_pad 2560) it streams 512-wide k blocks with
+    the usual running max/denominator.
     """
     true_len = len_ref[0]
-    s_pad = q_ref.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (s_pad, s_pad), dimension=1)
+    bq = q_ref.shape[1]
+    s_pad = k_ref.shape[1]
+    num_kb = s_pad // _FLAT_BLOCK_K
     neg = jnp.float32(_NEG_INF)
     for i in range(hb):  # static unroll: head slices are lane-aligned
         q = q_ref[0, :, i * d:(i + 1) * d].astype(jnp.float32) * scale
-        k = k_ref[0, :, i * d:(i + 1) * d].astype(jnp.float32)
-        v = v_ref[0, :, i * d:(i + 1) * d].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-        s = jnp.where(col < true_len, s, neg)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o_ref[0, :, i * d:(i + 1) * d] = jnp.dot(
-            p, v, preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+
+        def kb_body(kb, carry):
+            acc, m_prev, l_prev = carry
+            k = k_ref[0, pl.ds(kb * _FLAT_BLOCK_K, _FLAT_BLOCK_K),
+                      i * d:(i + 1) * d].astype(jnp.float32)
+            v = v_ref[0, pl.ds(kb * _FLAT_BLOCK_K, _FLAT_BLOCK_K),
+                      i * d:(i + 1) * d].astype(jnp.float32)
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            col = kb * _FLAT_BLOCK_K + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, _FLAT_BLOCK_K), dimension=1
+            )
+            s = jnp.where(col < true_len, s, neg)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jnp.dot(
+                p, v, preferred_element_type=jnp.float32
+            )
+            return acc, m_new, l_new
+
+        acc0 = jnp.zeros((bq, d), jnp.float32)
+        m0 = jnp.full((bq, 1), neg, jnp.float32)
+        l0 = jnp.zeros((bq, 1), jnp.float32)
+        if num_kb == 1:
+            acc, _, l = kb_body(0, (acc0, m0, l0))
+        else:
+            acc, _, l = jax.lax.fori_loop(0, num_kb, kb_body, (acc0, m0, l0))
+        o_ref[0, :, i * d:(i + 1) * d] = (acc / l).astype(o_ref.dtype)
 
 
 def flat_supported(s: int, h: int, d: int) -> bool:
-    s_pad = -(-s // 128) * 128
     return (
         d in (64, 128)
         and s >= 128
-        and s_pad <= _FLAT_MAX_SPAD
         and h % HEADS_PER_PROGRAM == 0
         # Mosaic block lanes must be a multiple of 128 (hb=1 x d=64 is
         # rejected by the lowering; hb=2 measured fastest end-to-end:
@@ -118,17 +143,24 @@ def flash_mha_flat(q2: jax.Array, k2: jax.Array, v2: jax.Array, *,
     scale = 1.0 / (d**0.5)
     hb = HEADS_PER_PROGRAM
 
-    s_pad = -(-s // 128) * 128
+    # Pad to the k-block granularity so the online-softmax loop tiles
+    # evenly; at 336px (443 -> 512) that is one whole-sequence block.
+    s_pad = -(-s // _FLAT_BLOCK_K) * _FLAT_BLOCK_K
+    bq = min(_FLAT_BLOCK_Q, s_pad)
     pad = [(0, 0), (0, s_pad - s), (0, 0)]
     qf = jnp.pad(q2, pad)
     kf = jnp.pad(k2, pad)
     vf = jnp.pad(v2, pad)
     true_len = jnp.full((1,), s, jnp.int32)
 
-    grid = (b, h // hb)
+    grid = (b, h // hb, s_pad // bq)
     kernel = functools.partial(_flat_kernel, hb=hb, d=d, scale=scale)
-    spec = pl.BlockSpec(
-        (1, s_pad, hb * d), lambda bi, hg, *_: (bi, 0, hg),
+    qspec = pl.BlockSpec(
+        (1, bq, hb * d), lambda bi, hg, qb, *_: (bi, qb, hg),
+        memory_space=pltpu.VMEM,
+    )
+    kvspec = pl.BlockSpec(
+        (1, s_pad, hb * d), lambda bi, hg, qb, *_: (bi, 0, hg),
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
@@ -136,8 +168,8 @@ def flash_mha_flat(q2: jax.Array, k2: jax.Array, v2: jax.Array, *,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[spec, spec, spec],
-            out_specs=spec,
+            in_specs=[qspec, kvspec, kvspec],
+            out_specs=qspec,
         ),
         out_shape=jax.ShapeDtypeStruct((b, s_pad, hd), out_dtype),
         interpret=jax.default_backend() == "cpu",

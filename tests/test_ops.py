@@ -125,6 +125,30 @@ def test_flash_mha_flat_matches_xla():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_flash_mha_flat_long_sequence_matches_xla():
+    """Multi-k-block online-softmax path (s=700 -> S_pad 1024, 2 q-blocks
+    x 2 k-blocks) == XLA attention — the 768px regime in miniature."""
+    from pnp_ovss_tpu.ops.flash_attention import (
+        flash_mha_flat, flat_supported,
+    )
+
+    rng = np.random.RandomState(9)
+    b, s, h, d = 1, 700, 2, 64
+    q2 = jnp.asarray(rng.randn(b, s, h * d), jnp.float32)
+    k2 = jnp.asarray(rng.randn(b, s, h * d), jnp.float32)
+    v2 = jnp.asarray(rng.randn(b, s, h * d), jnp.float32)
+    assert flat_supported(s, h, d)
+    got = np.asarray(flash_mha_flat(q2, k2, v2, num_heads=h))
+
+    def split(x):
+        return jnp.transpose(x.reshape(b, s, h, d), (0, 2, 1, 3))
+
+    want = np.asarray(jnp.transpose(
+        attn_ops.mha_xla(split(q2), split(k2), split(v2)), (0, 2, 1, 3)
+    ).reshape(b, s, h * d))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_vit_attention_flat_path_matches_xla_impl():
     """ViTSelfAttention with impl='pallas' (flat kernel at supported
     shapes) must equal impl='xla' on the same params."""
