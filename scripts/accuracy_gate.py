@@ -43,17 +43,25 @@ DEVICE_GRID = [
 
 
 def run_segment(args, out_dir, extra):
+    import time
+
     cmd = [
         sys.executable, "-m", "pnp_ovss_tpu.cli.segment",
         "--data_type", args.data_type,
         "--home_dir", args.home_dir,
         "--save_path", out_dir,
-        "--checkpoint", args.checkpoint,
-        "--vocab", args.vocab,
         "--batch_size", str(args.batch_size),
-    ] + (["--limit", str(args.limit)] if args.limit else []) + extra
+    ]
+    if args.checkpoint:
+        cmd += ["--checkpoint", args.checkpoint]
+    if args.vocab:
+        cmd += ["--vocab", args.vocab]
+    cmd += (["--limit", str(args.limit)] if args.limit else []) + extra
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    # Tunneled-TPU quirk: attaching too soon after the previous process
+    # exits can hang the first dispatch silently (verify SKILL.md).
+    time.sleep(args.attach_cooldown)
     subprocess.run(cmd, check=True, env=env, cwd=REPO)
 
 
@@ -66,8 +74,10 @@ def miou_of(save_path, data_type, subdir):
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--checkpoint", required=True)
-    p.add_argument("--vocab", required=True)
+    p.add_argument("--checkpoint", default=None,
+                   help="LAVIS .pth; omit for a RANDOM-weight harness "
+                        "smoke (validates the gate machinery only)")
+    p.add_argument("--vocab", default=None)
     p.add_argument("--home_dir", required=True)
     p.add_argument("--save_path", required=True)
     p.add_argument("--data_type", default="voc")
@@ -75,8 +85,18 @@ def main():
     p.add_argument("--limit", type=int, default=None,
                    help="subset size (full VOC val = 1449)")
     p.add_argument("--budget", type=float, default=0.3,
-                   help="max allowed |mIoU(device) - mIoU(parity)| (points)")
+                   help="ONE-SIDED budget: fail if mIoU(device) < "
+                        "mIoU(parity) - budget (positive deltas are the "
+                        "exact-vs-lattice kernel advantage, measured in "
+                        "scripts/lattice_vs_exact_crf.py)")
+    p.add_argument("--attach_cooldown", type=float, default=75.0,
+                   help="seconds to wait before each CLI subprocess "
+                        "attaches to the TPU (tunnel hang workaround)")
     args = p.parse_args()
+
+    if not args.checkpoint:
+        print("[gate] WARNING: no --checkpoint — random weights; this "
+              "validates the HARNESS, not accuracy")
 
     sys.path.insert(0, REPO)
 
@@ -101,7 +121,7 @@ def main():
                     "all_drop_hist_with_filtered_caption")
         delta = (m - anchor) * 100
         results[tag] = m
-        ok = abs(delta) <= args.budget
+        ok = delta >= -args.budget  # one-sided (see --budget help)
         if not ok:
             failures.append(tag)
         print(f"[gate] {tag}: mIoU {m:.4f}  delta {delta:+.2f} pts  "
