@@ -133,6 +133,74 @@ def gaussian_kernel_matmul(
     return out[:n, :c]
 
 
+def _materialize_kernel(f_j_ref, n_j_ref, f_i_ref, n_i_ref, o_ref):
+    """One (j, i) tile of the materialised kernel: d2 + exp + store, all
+    in VMEM. Same HIGHEST-precision exponent rule as _bilateral_kernel."""
+    s = jnp.dot(f_j_ref[:].astype(jnp.float32),
+                f_i_ref[:].astype(jnp.float32).T,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+    o_ref[:] = jnp.exp(
+        s - n_j_ref[:].astype(jnp.float32)
+        - n_i_ref[:].astype(jnp.float32).T
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def gaussian_kernel_materialize(
+    features_j: jax.Array,  # [M, F] (rows of the output)
+    features: jax.Array,  # [N, F] (columns)
+    *,
+    out_dtype=jnp.bfloat16,
+):
+    """K^T[m, n] = exp(-||f_j[m] - f_i[n]||^2 / 2) -> [M, N] in out_dtype.
+
+    Used by the materialised-kernel CRF path (ops/crf.py): the naive jnp
+    build writes the [M, N] f32 ``d2`` intermediate to HBM (~340 MB at
+    192px/s=4 — XLA does not fuse elementwise consumers into dot outputs
+    on TPU) before the exp re-reads it; this kernel keeps each d2 tile in
+    VMEM and writes ONLY the bf16 kernel, cutting the build's traffic
+    ~5x. Padded rows/columns get huge half-norms -> exp underflows to an
+    exact 0, so downstream matmuls may keep them.
+    """
+    m = features_j.shape[0]
+    n = features.shape[0]
+    m_pad = -(-m // BLOCK_J) * BLOCK_J
+    n_pad = -(-n // BLOCK_I) * BLOCK_I
+    feats_j, norms_j = _pad_feats(features_j, m_pad)
+    feats_i, norms_i = _pad_feats(features, n_pad)
+
+    grid = (m_pad // BLOCK_J, n_pad // BLOCK_I)
+    out = pl.pallas_call(
+        _materialize_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((BLOCK_J, FEAT_PAD), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_J, 1), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_I, FEAT_PAD), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK_I, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BLOCK_J, BLOCK_I), lambda j, i: (j, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n_pad * FEAT_PAD,
+            bytes_accessed=(m_pad + n_pad) * (FEAT_PAD + 1) * 4
+            + m_pad * n_pad * 2,
+            transcendentals=m_pad * n_pad,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(feats_j, norms_j, feats_i, norms_i)
+    return out[:m, :n]
+
+
 def gaussian_kernel_matmul_reference(
     features: jax.Array, values: jax.Array, features_j=None
 ):

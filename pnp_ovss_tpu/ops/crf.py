@@ -35,6 +35,7 @@ import numpy as np
 
 from pnp_ovss_tpu.config import CRFConfig
 from pnp_ovss_tpu.ops.bilateral_pallas import (
+    gaussian_kernel_materialize,
     gaussian_kernel_matmul,
     gaussian_kernel_matmul_reference,
 )
@@ -227,9 +228,15 @@ def mean_field_crf_variants(
     # that broke the nystrom Gram matrix), but the matmul must run at
     # HIGHEST precision so the MXU does not truncate the operands.
     if materialize_kernel is None:
+        # The Pallas build never materialises the f32 d2 intermediate
+        # (only the bf16 kernel exists), so it can afford a higher
+        # element limit: s=2 at bucket 224 (6.3e8) now materialises and
+        # runs each iteration at MXU rate instead of re-evaluating N*M
+        # exps (~2x the CRF cost on the on-the-fly path, measured).
+        limit = 7e8 if bilateral_impl == "pallas" else 5e8
         materialize_kernel = (
             bilateral_mode == "strided" and s > 1
-            and n * (-(-h // s)) * (-(-w // s)) <= 5e8  # ~1 GB bf16
+            and n * (-(-h // s)) * (-(-w // s)) <= limit
         )
 
     use_nystrom = bilateral_mode == "nystrom" and s > 1
@@ -243,19 +250,33 @@ def mean_field_crf_variants(
         # slots of the dominant per-iteration matmul. Same math, same
         # exps; the per-iteration [C', N] transpose back is ~13 MB of
         # bandwidth — noise against the N*M matmul.
-        x2 = jnp.sum(feats_bi * feats_bi, axis=-1)
-        d2 = (
-            x2[grid_idx][:, None]
-            + x2[None, :]
-            - 2.0 * jnp.dot(feats_bi_j, feats_bi.T,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-        )
         # bf16 operands ride the MXU at 2x rate on TPU; the CPU backend
         # (tests) has no bf16 dot thunk, so it keeps f32 operands.
         mm_dtype = (jnp.float32 if jax.default_backend() == "cpu"
                     else jnp.bfloat16)
-        kt_mat = jnp.exp(-0.5 * jnp.maximum(d2, 0.0)).astype(mm_dtype)
+        if bilateral_impl == "pallas":
+            # Fused d2+exp+store build: the jnp expansion writes the
+            # [M, N] f32 d2 intermediate to HBM before the exp (XLA does
+            # not fuse elementwise consumers past dot outputs on TPU);
+            # the Pallas build keeps each tile in VMEM and writes only
+            # the bf16 kernel — ~5x less build traffic.
+            kt_mat = gaussian_kernel_materialize(
+                feats_bi_j, feats_bi, out_dtype=mm_dtype
+            )
+        else:
+            # f32 ||a||^2+||b||^2-2ab expansion is cancellation-safe at
+            # these magnitudes (it was the *bf16* expansion that broke
+            # the nystrom Gram matrix), but the matmul must run HIGHEST
+            # so the MXU does not truncate the operands.
+            x2 = jnp.sum(feats_bi * feats_bi, axis=-1)
+            d2 = (
+                x2[grid_idx][:, None]
+                + x2[None, :]
+                - 2.0 * jnp.dot(feats_bi_j, feats_bi.T,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+            )
+            kt_mat = jnp.exp(-0.5 * jnp.maximum(d2, 0.0)).astype(mm_dtype)
 
         def bilateral_apply(q_cn):  # [C', N] -> [C', N], no transposes
             return jnp.dot(

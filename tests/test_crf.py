@@ -348,3 +348,25 @@ def test_subsampled_bilateral_close_to_exact():
         jnp.asarray(logits), jnp.asarray(image), cfg,
         bilateral_impl="reference", bilateral_subsample=2))
     assert (exact == sub).mean() > 0.97, (exact == sub).mean()
+
+
+def test_kernel_materialize_matches_expansion():
+    """Fused Pallas d2+exp+store build == the jnp f32 expansion, at
+    realistic feature magnitudes (rgb/5 spans 0..51) and non-tile-aligned
+    shapes (padding rows/cols must vanish exactly)."""
+    from pnp_ovss_tpu.ops.bilateral_pallas import gaussian_kernel_materialize
+
+    rng = np.random.RandomState(11)
+    fj = np.concatenate([
+        rng.rand(37, 2) * 10, rng.rand(37, 3) * 51], axis=1
+    ).astype(np.float32)
+    fi = np.concatenate([
+        rng.rand(150, 2) * 10, rng.rand(150, 3) * 51], axis=1
+    ).astype(np.float32)
+    got = np.asarray(gaussian_kernel_materialize(
+        jnp.asarray(fj), jnp.asarray(fi), out_dtype=jnp.float32
+    ))
+    d2 = ((fj[:, None, :] - fi[None, :, :]) ** 2).sum(-1)
+    want = np.exp(-0.5 * d2)
+    assert got.shape == (37, 150)
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-6)
