@@ -146,12 +146,13 @@ def _materialize_kernel(f_j_ref, n_j_ref, f_i_ref, n_i_ref, o_ref):
     ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype",))
+@functools.partial(jax.jit, static_argnames=("out_dtype", "keep_padded_rows"))
 def gaussian_kernel_materialize(
     features_j: jax.Array,  # [M, F] (rows of the output)
     features: jax.Array,  # [N, F] (columns)
     *,
     out_dtype=jnp.bfloat16,
+    keep_padded_rows: bool = False,
 ):
     """K^T[m, n] = exp(-||f_j[m] - f_i[n]||^2 / 2) -> [M, N] in out_dtype.
 
@@ -161,7 +162,9 @@ def gaussian_kernel_materialize(
     on TPU) before the exp re-reads it; this kernel keeps each d2 tile in
     VMEM and writes ONLY the bf16 kernel, cutting the build's traffic
     ~5x. Padded rows/columns get huge half-norms -> exp underflows to an
-    exact 0, so downstream matmuls may keep them.
+    exact 0, so downstream matmuls may keep them; ``keep_padded_rows``
+    returns the row-padded [M_pad, N] array (exact-zero pad rows) so the
+    fused-iteration path can matmul against it without a slice copy.
     """
     m = features_j.shape[0]
     n = features.shape[0]
@@ -198,7 +201,101 @@ def gaussian_kernel_materialize(
         ),
         interpret=jax.default_backend() == "cpu",
     )(feats_j, norms_j, feats_i, norms_i)
-    return out[:m, :n]
+    return out[:, :n] if keep_padded_rows else out[:m, :n]
+
+
+def _crf_iter_kernel(qsub_ref, kt_ref, u_ref, msp_ref, nb_ref, o_ref, *,
+                     v: int, c: int):
+    """One N-tile of a fused mean-field iteration.
+
+    Computes, entirely in VMEM:
+        y   = qsub @ kt                      (bilateral message columns)
+        e   = nb * y + msp + u               (nb = bi_w * norm_bi row,
+                                              msp = pos_w-scaled spatial
+                                              message, u = -unary)
+        out = per-variant-block softmax(e)   (rows [vi*c, (vi+1)*c))
+
+    The unfused loop runs the same math as five separate XLA ops, each
+    streaming the [v*c, N] f32 state through HBM (measured ~4 ms/iter of
+    the 15.4 ms/iter CRF cost at 192px/s4/B35); here everything between
+    the kernel-matmul read and the next-state write stays on-chip.
+
+    Refs:
+      qsub_ref: [R, M]  bf16/f32 — norm_j-scaled strided-subset state
+                (whole, every program; R = v*c padded to sublanes)
+      kt_ref:   [M, BN] bf16/f32 — materialised kernel columns
+      u_ref:    [R, BN] f32 — minus-unary (pad rows zero)
+      msp_ref:  [R, BN] f32 — spatial message, pos_w/norm_sp applied
+      nb_ref:   [8, BN] f32 — bi_w * norm_bi (row 0; broadcast rows)
+      o_ref:    [R, BN] f32 — next-iteration Q (pad rows exactly zero)
+    """
+    y = jnp.dot(qsub_ref[:], kt_ref[:], preferred_element_type=jnp.float32)
+    e = nb_ref[0:1, :] * y + msp_ref[:] + u_ref[:]
+    r, bn = e.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (r, bn), 0)
+    neg = jnp.float32(-1e30)
+    out = jnp.zeros((r, bn), jnp.float32)
+    for vi in range(v):  # static unroll, v is 1 or 2
+        sel = (row >= vi * c) & (row < (vi + 1) * c)
+        mv = jnp.max(jnp.where(sel, e, neg), axis=0, keepdims=True)
+        pv = jnp.where(sel, jnp.exp(e - mv), 0.0)
+        out = out + pv / jnp.sum(pv, axis=0, keepdims=True)
+    o_ref[:] = out
+
+
+def _pick_bn(n: int) -> int:
+    for bn in (512, 384, 256, 128):
+        if n % bn == 0:
+            return bn
+    raise ValueError(f"N={n} not a multiple of 128")
+
+
+@functools.partial(jax.jit, static_argnames=("v", "c"))
+def crf_fused_iteration(
+    qsub: jax.Array,   # [R, M] bf16 (f32 on CPU)
+    kt: jax.Array,     # [M, N] bf16 (f32 on CPU)
+    u_neg: jax.Array,  # [R, N] f32
+    msp: jax.Array,    # [R, N] f32
+    nb: jax.Array,     # [8, N] f32 (bi_w * norm_bi broadcast rows)
+    *,
+    v: int,
+    c: int,
+):
+    """Fused bilateral-matmul + energy + blockwise-softmax iteration.
+
+    Caller guarantees: R (rows) a sublane multiple with v*c <= R and pad
+    rows of u_neg zero, M a multiple of 128 with pad columns of qsub and
+    pad rows of kt zero, N a multiple of 128. Returns [R, N] f32 with pad
+    rows exactly zero.
+    """
+    r, m = qsub.shape
+    _, n = kt.shape
+    bn = _pick_bn(n)
+    grid = (n // bn,)
+    kernel = functools.partial(_crf_iter_kernel, v=v, c=c)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((r, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, bn), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, bn), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, n), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r * m * n,
+            bytes_accessed=m * n * kt.dtype.itemsize + 3 * r * n * 4,
+            transcendentals=v * r * n,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(qsub, kt, u_neg, msp, nb)
 
 
 def gaussian_kernel_matmul_reference(

@@ -28,6 +28,7 @@ matches pydensecrf most closely.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,7 @@ import numpy as np
 
 from pnp_ovss_tpu.config import CRFConfig
 from pnp_ovss_tpu.ops.bilateral_pallas import (
+    crf_fused_iteration,
     gaussian_kernel_materialize,
     gaussian_kernel_matmul,
     gaussian_kernel_matmul_reference,
@@ -121,6 +123,7 @@ def mean_field_crf_variants(
     nystrom_ridge: float = 1e-2,
     xy_scale=1.0,
     materialize_kernel: "bool | None" = None,
+    fused_iteration: "bool | None" = None,
 ) -> jax.Array:
     """Mean-field inference for V unary variants over ONE image at once;
     returns label maps [V, H, W] int32.
@@ -240,6 +243,7 @@ def mean_field_crf_variants(
         )
 
     use_nystrom = bilateral_mode == "nystrom" and s > 1
+    fused = False
     if materialize_kernel and not use_nystrom and s > 1:
         # Materialise the TRANSPOSED kernel K^T [M, N] and run each
         # iteration as v^T [C', M] @ K^T — the output is [C', N] with the
@@ -254,14 +258,35 @@ def mean_field_crf_variants(
         # (tests) has no bf16 dot thunk, so it keeps f32 operands.
         mm_dtype = (jnp.float32 if jax.default_backend() == "cpu"
                     else jnp.bfloat16)
+        # Fused mean-field iteration (bilateral matmul + energy +
+        # blockwise softmax in ONE Pallas kernel): eliminates the
+        # separate [V*C, N] f32 elementwise/softmax passes between the
+        # kernel matmul and the next state (~4 ms of the 15.4 ms/iter
+        # CRF cost at 192px/s4/B35). Auto when both variants' channels
+        # fit the 64-row packing and the default include-self semantics
+        # apply; the unfused loop remains the general path.
+        fused = fused_iteration
+        if fused is None:
+            env = os.environ.get("PNP_CRF_FUSED")  # A/B debug override
+            if env is not None:
+                fused = env not in ("0", "false", "")
+            else:
+                fused = (
+                    bilateral_impl == "pallas" and not exclude_self
+                    and v * c <= 64 and n % 128 == 0
+                )
         if bilateral_impl == "pallas":
             # Fused d2+exp+store build: the jnp expansion writes the
             # [M, N] f32 d2 intermediate to HBM before the exp (XLA does
             # not fuse elementwise consumers past dot outputs on TPU);
             # the Pallas build keeps each tile in VMEM and writes only
-            # the bf16 kernel — ~5x less build traffic.
+            # the bf16 kernel — ~5x less build traffic. Row-padded
+            # ([M_pad, N], exact-zero pad rows) so the per-iteration
+            # matmul needs no slice copy; the j-side operands are
+            # zero-padded to match.
             kt_mat = gaussian_kernel_materialize(
-                feats_bi_j, feats_bi, out_dtype=mm_dtype
+                feats_bi_j, feats_bi, out_dtype=mm_dtype,
+                keep_padded_rows=True,
             )
         else:
             # f32 ||a||^2+||b||^2-2ab expansion is cancellation-safe at
@@ -277,10 +302,17 @@ def mean_field_crf_variants(
                                 precision=jax.lax.Precision.HIGHEST)
             )
             kt_mat = jnp.exp(-0.5 * jnp.maximum(d2, 0.0)).astype(mm_dtype)
+        m_pad = kt_mat.shape[0]
+
+        def take_j_pad(q_cn):  # [C', N] -> [C', M_pad] f32
+            qs = take_j_cols(q_cn)
+            if m_pad != qs.shape[1]:
+                qs = jnp.pad(qs, ((0, 0), (0, m_pad - qs.shape[1])))
+            return qs
 
         def bilateral_apply(q_cn):  # [C', N] -> [C', N], no transposes
             return jnp.dot(
-                take_j_cols(q_cn).astype(mm_dtype), kt_mat,
+                take_j_pad(q_cn).astype(mm_dtype), kt_mat,
                 preferred_element_type=jnp.float32,
             )
     elif use_nystrom:
@@ -344,6 +376,36 @@ def mean_field_crf_variants(
         return out.reshape(v * c, n)
 
     norm_sp_flat = norm_sp.reshape(1, n)
+
+    if fused:
+        # Whole-iteration fused path: state is carried row-padded
+        # [R, N] (R = V*C rounded to sublanes, pad rows exactly zero —
+        # the in-kernel softmax mask keeps them zero, the spatial
+        # einsums and unary pads preserve it). Per iteration, XLA runs
+        # only the spatial einsums and the tiny [R, M] subset prep; the
+        # bilateral matmul, symmetric norms, unary energy and the
+        # per-variant softmax all happen in VMEM (crf_fused_iteration).
+        r_rows = -(-(v * c) // 16) * 16
+        pad_r = r_rows - v * c
+        u_neg = jnp.pad(-u_flat, ((0, pad_r), (0, 0)))
+        nb = jnp.broadcast_to(cfg.bi_w * norm_bi, (8, n))
+        norm_j = take_j_pad(norm_bi)  # [1, M_pad]
+
+        def body_fused(_, q_rn):
+            nsq = (norm_sp_flat * q_rn).reshape(r_rows, h, w)
+            msp = cfg.pos_w * (
+                norm_sp_flat
+                * spatial_gaussian_apply(nsq, pos_xy_std).reshape(r_rows, n)
+            )
+            qsub = take_j_pad(q_rn) * norm_j
+            return crf_fused_iteration(
+                qsub.astype(mm_dtype), kt_mat, u_neg, msp, nb, v=v, c=c
+            )
+
+        q0_pad = jnp.pad(q0.reshape(v * c, n), ((0, pad_r), (0, 0)))
+        q = jax.lax.fori_loop(0, cfg.num_iters, body_fused, q0_pad)[:v * c]
+        labels = jnp.argmax(q.reshape(v, c, n), axis=1).astype(jnp.int32)
+        return labels.reshape(v, h, w)
 
     def body(_, q_cn):
         # Bilateral: n_i * K~(n_j * q_j) where K~ is the exact rectangular

@@ -350,6 +350,32 @@ def test_subsampled_bilateral_close_to_exact():
     assert (exact == sub).mean() > 0.97, (exact == sub).mean()
 
 
+def test_fused_iteration_matches_unfused():
+    """The fused Pallas mean-field iteration (matmul + energy + blockwise
+    softmax in one kernel) must reproduce the unfused XLA loop: same
+    math, different float-op ordering only. Exercises the row-padded
+    kernel path (M=256 -> M_pad=512) and both variants' channel blocks."""
+    from pnp_ovss_tpu.ops.crf import mean_field_crf_variants
+
+    cfg = CRFConfig(num_iters=10)
+    h, w = 64, 64
+    rng = np.random.RandomState(3)
+    image, logits = _scene_textured(rng, h, w)
+    logits2 = np.stack([logits, logits[::-1]], 0)  # V=2 variants
+
+    def run(fused):
+        return np.asarray(mean_field_crf_variants(
+            jnp.asarray(logits2), jnp.asarray(image), cfg,
+            bilateral_impl="pallas", bilateral_subsample=4,
+            xy_scale=jnp.asarray([0.4, 0.5]), fused_iteration=fused))
+
+    unfused = run(False)
+    fused = run(True)
+    assert fused.shape == (2, h, w)
+    agree = (fused == unfused).mean()
+    assert agree > 0.999, agree
+
+
 def test_kernel_materialize_matches_expansion():
     """Fused Pallas d2+exp+store build == the jnp f32 expansion, at
     realistic feature magnitudes (rgb/5 spans 0..51) and non-tile-aligned
@@ -370,3 +396,19 @@ def test_kernel_materialize_matches_expansion():
     want = np.exp(-0.5 * d2)
     assert got.shape == (37, 150)
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=1e-6)
+
+
+def test_kernel_materialize_padded_rows_are_zero():
+    from pnp_ovss_tpu.ops.bilateral_pallas import (
+        gaussian_kernel_materialize,
+    )
+
+    rng = np.random.RandomState(12)
+    fj = (rng.rand(37, 5) * 20).astype(np.float32)
+    fi = (rng.rand(256, 5) * 20).astype(np.float32)
+    got = np.asarray(gaussian_kernel_materialize(
+        jnp.asarray(fj), jnp.asarray(fi), out_dtype=jnp.float32,
+        keep_padded_rows=True,
+    ))
+    assert got.shape == (512, 256)
+    assert np.all(got[37:] == 0.0)
