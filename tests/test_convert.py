@@ -69,6 +69,85 @@ def _tiny_torch_state_dict(cfg: ModelConfig, rng):
     return sd
 
 
+def _retrieval_checkpoint_extras(cfg: ModelConfig, sd, rng):
+    """The keys a real ``model_large_retrieval_flickr.pth`` carries BEYOND
+    the ITM module tree (`blip_itm_large.yaml:10` loads a blip_retrieval
+    training checkpoint into the blip_image_text_matching arch).
+
+    Derived from the vendored reference modules and the BLIP retrieval
+    trainer state: momentum copies of both towers + projections, the ITC
+    queues and their pointer, the distillation temperature, the
+    serialized `position_ids` buffer (`med.py:78-80` register_buffer),
+    and the `token_type_embeddings` table (present in the original-BLIP
+    checkpoint; LAVIS med configs set add_type_embeddings=false so the
+    module never instantiates it and load_state_dict(strict=False) drops
+    it — `med.py:67-70,111-115`).
+    """
+    extras = {}
+    for k, v in list(sd.items()):
+        if k.startswith(("visual_encoder.", "text_encoder.")):
+            root, rest = k.split(".", 1)
+            extras[f"{root}_m.{rest}"] = v.copy()
+    for name in ("vision_proj", "text_proj"):
+        extras[f"{name}_m.weight"] = sd[f"{name}.weight"].copy()
+        extras[f"{name}_m.bias"] = sd[f"{name}.bias"].copy()
+    q = 17  # queue_size
+    extras["image_queue"] = rng.randn(cfg.embed_dim, q).astype(np.float32)
+    extras["text_queue"] = rng.randn(cfg.embed_dim, q).astype(np.float32)
+    extras["idx_queue"] = np.full((1, q), -100, np.int64)
+    extras["queue_ptr"] = np.zeros((1,), np.int64)
+    extras["temp"] = np.asarray(0.07, np.float32)
+    extras["text_encoder.embeddings.position_ids"] = np.arange(
+        cfg.bert.max_position_embeddings, dtype=np.int64
+    )[None]
+    extras["text_encoder.embeddings.token_type_embeddings.weight"] = (
+        rng.randn(2, cfg.bert.hidden_size).astype(np.float32)
+    )
+    return extras
+
+
+def test_full_retrieval_checkpoint_layout_loads_identically(tmp_path):
+    """Loading the FULL retrieval-checkpoint key inventory (momentum
+    towers, queues, temp, serialized buffers, token_type table — the
+    exact extras a real model_large_retrieval_flickr.pth contains) must
+    yield bit-identical params to the clean ITM-only layout, through the
+    real .pth load path; ditto the `text_encoder.bert.*` prefix variant
+    some LAVIS exports use."""
+    torch = pytest.importorskip("torch")
+    from pnp_ovss_tpu.models.convert import load_torch_checkpoint
+
+    cfg = ModelConfig.tiny()
+    rng = np.random.RandomState(7)
+    sd = _tiny_torch_state_dict(cfg, rng)
+    want = convert_state_dict(sd, cfg, capture_layers=(0,))
+
+    full = dict(sd)
+    full.update(_retrieval_checkpoint_extras(cfg, sd, rng))
+    ckpt = str(tmp_path / "model_retrieval.pth")
+    torch.save(
+        {"model": {k: torch.tensor(v) for k, v in full.items()},
+         "epoch": 5, "config": {"image_size": 48}},
+        ckpt,
+    )
+    got = load_torch_checkpoint(ckpt, cfg, capture_layers=(0,))
+    for (kw, w), (kg, g) in zip(
+        jax.tree_util.tree_flatten_with_path(want)[0],
+        jax.tree_util.tree_flatten_with_path(got)[0],
+    ):
+        assert kw == kg
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g), err_msg=str(kw))
+
+    # Prefix variant: every text_encoder key nested under .bert.
+    pref = {
+        (k.replace("text_encoder.", "text_encoder.bert.", 1)
+         if k.startswith("text_encoder.") else k): v
+        for k, v in full.items()
+    }
+    got2 = convert_state_dict(pref, cfg, capture_layers=(0,))
+    for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got2)):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
 def _tree_shapes(tree):
     return jax.tree.map(lambda x: tuple(np.shape(x)), tree)
 
