@@ -14,7 +14,15 @@ TPU-native differences from the reference (deliberate):
   instead of materialising [B, H, S, S] probabilities (vit.py:104-113);
   attention-capture hooks are not ported because the ITM GradCAM path never
   reads ViT attention (reference calls forward_features with
-  register_blk=-1, vit.py:535-536).
+  register_blk=-1, vit.py:535-536),
+- on the pallas path the whole encode runs at the flash kernel's padded
+  sequence length (443 -> 512 once, instead of pad/slice around every
+  layer's attention) and each block's LayerNorms ride inside fused Pallas
+  matmul kernels (ops/vit_block_pallas.py): LN1+qkv as one kernel,
+  LN2+fc1+gelu+fc2+residual as one kernel — the [M, 4096] MLP activation
+  never touches HBM. Padded rows carry finite garbage that no real row
+  ever reads (attention masks keys >= true_len; everything else is
+  row-local); the final slice drops them.
 """
 
 from __future__ import annotations
@@ -27,6 +35,7 @@ import jax.numpy as jnp
 from pnp_ovss_tpu.config import ViTConfig
 from pnp_ovss_tpu.ops import attention as attn_ops
 from pnp_ovss_tpu.ops import flash_attention as _flash
+from pnp_ovss_tpu.ops import vit_block_pallas as _vbp
 
 
 class ViTSelfAttention(nn.Module):
@@ -83,6 +92,108 @@ class ViTBlock(nn.Module):
         return x + h
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-compatible params without computing anything
+    (the fused kernels consume the raw kernel/bias)."""
+
+    fin: int
+    fout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.fin, self.fout), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.fout,), jnp.float32)
+        return k, b
+
+
+class _NormParams(nn.Module):
+    """nn.LayerNorm-compatible scale/bias params."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones_init(),
+                       (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros_init(),
+                       (self.dim,), jnp.float32)
+        return s, b
+
+
+class _FusedAttnParams(nn.Module):
+    """qkv/proj param container matching ViTSelfAttention's tree."""
+
+    d: int
+
+    @nn.compact
+    def __call__(self):
+        qkv = _DenseParams(self.d, 3 * self.d, name="qkv")()
+        proj = _DenseParams(self.d, self.d, name="proj")()
+        return qkv, proj
+
+
+class ViTBlockFused(nn.Module):
+    """Pre-LN block on the fused-kernel path: LN1+qkv in one Pallas
+    matmul kernel, flat flash attention, XLA proj+residual, then
+    LN2+MLP+residual in one Pallas kernel. Parameter tree is identical
+    to ViTBlock (the converter and partition specs see no difference).
+
+    The carried x may be row-padded (whole-encode S_pad layout);
+    ``true_len`` masks attention keys beyond the real sequence.
+    """
+
+    cfg: ViTConfig
+    true_len: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = self.cfg
+        dtype = jnp.dtype(c.dtype)
+        b, s, d = x.shape
+        m = b * s
+        (qkv_k, qkv_b), (proj_k, proj_b) = _FusedAttnParams(
+            d, name="attn")()
+        g1, b1 = _NormParams(d, name="norm1")()
+        g2, b2 = _NormParams(d, name="norm2")()
+        w1, fb1 = _DenseParams(d, int(d * c.mlp_ratio), name="mlp_fc1")()
+        w2, fb2 = _DenseParams(int(d * c.mlp_ratio), d, name="mlp_fc2")()
+
+        qkv = _vbp.ln_matmul(
+            x.reshape(m, d), g1, b1,
+            qkv_k.astype(dtype), qkv_b.astype(dtype),
+            eps=c.layer_norm_eps, out_dtype=dtype,
+        ).reshape(b, s, 3 * d)
+        out = _flash.flash_mha_flat(
+            qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:],
+            num_heads=c.num_heads, out_dtype=dtype,
+            true_len=self.true_len,
+        )
+        # proj + residual: a plain bf16 matmul XLA already runs at full
+        # MXU rate and fuses the residual add into (bisect: residuals
+        # measured ~free).
+        x = x + (jnp.dot(out, proj_k.astype(dtype))
+                 + proj_b.astype(dtype))
+        return _vbp.ln_mlp_residual(
+            x.reshape(m, d), g2, b2,
+            w1.astype(dtype), fb1.astype(dtype),
+            w2.astype(dtype), fb2.astype(dtype),
+            eps=c.layer_norm_eps, out_dtype=dtype,
+        ).reshape(b, s, d)
+
+
+class _ScannedBlockFused(nn.Module):
+    """lax.scan wrapper for the fused block (same param tree names)."""
+
+    cfg: ViTConfig
+    true_len: int
+
+    @nn.compact
+    def __call__(self, x, _):
+        return ViTBlockFused(self.cfg, self.true_len, name="block")(x), None
+
+
 class _ScannedBlock(nn.Module):
     """lax.scan-compatible wrapper: (carry, None) -> (carry, None)."""
 
@@ -137,13 +248,39 @@ class VisionTransformer(nn.Module):
         )
         x = x + pos_embed.astype(dtype)
 
-        blocks = nn.scan(
-            _ScannedBlock,
-            variable_axes={"params": 0},
-            split_rngs={"params": True},
-            length=c.num_layers,
-        )(c, self.impl, name="blocks")
-        x, _ = blocks(x, None)
+        import os
+
+        use_fused = (
+            self.impl == "pallas"
+            and os.environ.get("PNP_VIT_FUSED", "1") not in ("0", "false")
+            and _flash.flat_supported(c.seq_len, c.num_heads, c.head_dim)
+            and _vbp.supported(c.hidden_size, 3 * c.hidden_size)
+        )
+        if use_fused:
+            # Whole-encode padded layout: pad ONCE to the flash kernel's
+            # k-block multiple instead of pad/slice around every layer's
+            # attention; the fused block kernels then tile rows with no
+            # per-call padding either. Padded rows hold finite garbage
+            # no real row reads (keys >= true_len are masked).
+            s_pad = -(-c.seq_len // _flash._FLAT_BLOCK_K) \
+                * _flash._FLAT_BLOCK_K
+            x = jnp.pad(x, ((0, 0), (0, s_pad - c.seq_len), (0, 0)))
+            blocks = nn.scan(
+                _ScannedBlockFused,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=c.num_layers,
+            )(c, c.seq_len, name="blocks")
+            x, _ = blocks(x, None)
+            x = x[:, :c.seq_len]
+        else:
+            blocks = nn.scan(
+                _ScannedBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=c.num_layers,
+            )(c, self.impl, name="blocks")
+            x, _ = blocks(x, None)
 
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
                          name="norm")(x)

@@ -128,13 +128,18 @@ def flat_supported(s: int, h: int, d: int) -> bool:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "out_dtype"))
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "out_dtype", "true_len"))
 def flash_mha_flat(q2: jax.Array, k2: jax.Array, v2: jax.Array, *,
-                   num_heads: int, out_dtype=None):
+                   num_heads: int, out_dtype=None,
+                   true_len: "int | None" = None):
     """Fused attention on flat [B, S, H*D] q/k/v (no head transposes).
 
     Returns [B, S, H*D] in ``out_dtype`` (defaults to q2.dtype) — feed it
-    straight into the output projection.
+    straight into the output projection. ``true_len`` masks keys beyond
+    that position when the caller already carries a padded sequence
+    (the whole-encode S_pad layout): keys >= true_len get -inf scores,
+    so padded rows never contaminate real queries.
     """
     out_dtype = out_dtype or q2.dtype
     b, s, hd = q2.shape
@@ -151,7 +156,8 @@ def flash_mha_flat(q2: jax.Array, k2: jax.Array, v2: jax.Array, *,
     qf = jnp.pad(q2, pad)
     kf = jnp.pad(k2, pad)
     vf = jnp.pad(v2, pad)
-    true_len = jnp.full((1,), s, jnp.int32)
+    true_len = jnp.full((1,), true_len if true_len is not None else s,
+                        jnp.int32)
 
     grid = (b, h // hb, s_pad // bq)
     kernel = functools.partial(_flat_kernel, hb=hb, d=d, scale=scale)
