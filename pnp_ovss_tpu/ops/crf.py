@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pnp_ovss_tpu.config import CRFConfig
+from pnp_ovss_tpu.ops import bilateral_pallas
 from pnp_ovss_tpu.ops.bilateral_pallas import (
     crf_fused_iteration,
     gaussian_kernel_materialize,
@@ -124,6 +125,7 @@ def mean_field_crf_variants(
     xy_scale=1.0,
     materialize_kernel: "bool | None" = None,
     fused_iteration: "bool | None" = None,
+    kt_quantize: "bool | None" = None,
 ) -> jax.Array:
     """Mean-field inference for V unary variants over ONE image at once;
     returns label maps [V, H, W] int32.
@@ -258,6 +260,18 @@ def mean_field_crf_variants(
         # (tests) has no bf16 dot thunk, so it keeps f32 operands.
         mm_dtype = (jnp.float32 if jax.default_backend() == "cpu"
                     else jnp.bfloat16)
+        # uint8 kernel storage (round(k * 255), k in [0, 1]): halves the
+        # dominant per-iteration kernel read (the N*M matmul is
+        # bandwidth-bound ~4:1 at 192px/s4). The 1/255 fold rides the
+        # per-column normaliser; quantisation noise is ~5e-4 relative in
+        # the energies (entries O(1) summed to degree ~1e2 wash it out).
+        if kt_quantize is None:
+            env = os.environ.get("PNP_CRF_KT_Q")  # A/B debug override
+            kt_quantize = (env not in ("0", "false", "")) if env is not None \
+                else False
+        kt_inv_scale = (
+            1.0 / bilateral_pallas.KT_QUANT_SCALE if kt_quantize else 1.0
+        )
         # Fused mean-field iteration (bilateral matmul + energy +
         # blockwise softmax in ONE Pallas kernel): eliminates the
         # separate [V*C, N] f32 elementwise/softmax passes between the
@@ -285,7 +299,8 @@ def mean_field_crf_variants(
             # matmul needs no slice copy; the j-side operands are
             # zero-padded to match.
             kt_mat = gaussian_kernel_materialize(
-                feats_bi_j, feats_bi, out_dtype=mm_dtype,
+                feats_bi_j, feats_bi,
+                out_dtype=jnp.uint8 if kt_quantize else mm_dtype,
                 keep_padded_rows=True,
             )
         else:
@@ -301,7 +316,12 @@ def mean_field_crf_variants(
                                 preferred_element_type=jnp.float32,
                                 precision=jax.lax.Precision.HIGHEST)
             )
-            kt_mat = jnp.exp(-0.5 * jnp.maximum(d2, 0.0)).astype(mm_dtype)
+            k_full = jnp.exp(-0.5 * jnp.maximum(d2, 0.0))
+            kt_mat = (
+                jnp.round(k_full * bilateral_pallas.KT_QUANT_SCALE)
+                .astype(jnp.uint8)
+                if kt_quantize else k_full.astype(mm_dtype)
+            )
         m_pad = kt_mat.shape[0]
 
         def take_j_pad(q_cn):  # [C', N] -> [C', M_pad] f32
@@ -311,10 +331,12 @@ def mean_field_crf_variants(
             return qs
 
         def bilateral_apply(q_cn):  # [C', N] -> [C', N], no transposes
-            return jnp.dot(
-                take_j_pad(q_cn).astype(mm_dtype), kt_mat,
+            y = jnp.dot(
+                take_j_pad(q_cn).astype(mm_dtype),
+                kt_mat.astype(mm_dtype) if kt_quantize else kt_mat,
                 preferred_element_type=jnp.float32,
             )
+            return y * kt_inv_scale if kt_quantize else y
     elif use_nystrom:
         # Anchor Gram matrix (M x M, M ~ (H/s)(W/s): small) + ridge, solved
         # by Cholesky once; each iteration applies K_NA chol_solve(K_AN .).
@@ -388,7 +410,10 @@ def mean_field_crf_variants(
         r_rows = -(-(v * c) // 16) * 16
         pad_r = r_rows - v * c
         u_neg = jnp.pad(-u_flat, ((0, pad_r), (0, 0)))
-        nb = jnp.broadcast_to(cfg.bi_w * norm_bi, (8, n))
+        # The fused kernel's dot consumes the raw stored kernel, so the
+        # uint8 dequant scale folds into nb here (norm_bi itself came
+        # through bilateral_apply, which already descaled).
+        nb = jnp.broadcast_to(cfg.bi_w * kt_inv_scale * norm_bi, (8, n))
         norm_j = take_j_pad(norm_bi)  # [1, M_pad]
 
         def body_fused(_, q_rn):

@@ -412,3 +412,58 @@ def test_kernel_materialize_padded_rows_are_zero():
     ))
     assert got.shape == (512, 256)
     assert np.all(got[37:] == 0.0)
+
+
+def test_kernel_materialize_uint8_quantization():
+    """uint8 build == round(f32 kernel * 255); padded rows quantise to
+    exact zero (huge half-norms -> exp underflow -> round(0) == 0)."""
+    from pnp_ovss_tpu.ops.bilateral_pallas import (
+        KT_QUANT_SCALE,
+        gaussian_kernel_materialize,
+    )
+
+    rng = np.random.RandomState(13)
+    fj = np.concatenate([
+        rng.rand(37, 2) * 10, rng.rand(37, 3) * 51], axis=1
+    ).astype(np.float32)
+    fi = np.concatenate([
+        rng.rand(150, 2) * 10, rng.rand(150, 3) * 51], axis=1
+    ).astype(np.float32)
+    got = np.asarray(gaussian_kernel_materialize(
+        jnp.asarray(fj), jnp.asarray(fi), out_dtype=jnp.uint8,
+        keep_padded_rows=True,
+    ))
+    f32 = np.asarray(gaussian_kernel_materialize(
+        jnp.asarray(fj), jnp.asarray(fi), out_dtype=jnp.float32,
+    ))
+    assert got.dtype == np.uint8 and got.shape[0] == 512
+    want = np.round(f32 * KT_QUANT_SCALE)
+    np.testing.assert_array_equal(got[:37].astype(np.float64), want)
+    assert np.all(got[37:] == 0)
+
+
+def test_crf_kt_quantized_matches_bf16_labels():
+    """uint8 kernel storage (PNP_CRF_KT_Q path) must leave the mean-field
+    labels essentially unchanged vs the unquantised kernel, on both the
+    fused and unfused materialised paths (quantisation noise is ~5e-4
+    relative in the energies)."""
+    from pnp_ovss_tpu.ops.crf import mean_field_crf_variants
+
+    cfg = CRFConfig(num_iters=10)
+    h, w = 64, 64
+    rng = np.random.RandomState(5)
+    image, logits = _scene_textured(rng, h, w)
+    logits2 = np.stack([logits, logits[::-1]], 0)
+
+    for fused in (False, True):
+        def run(quant):
+            return np.asarray(mean_field_crf_variants(
+                jnp.asarray(logits2), jnp.asarray(image), cfg,
+                bilateral_impl="pallas", bilateral_subsample=4,
+                xy_scale=jnp.asarray([0.4, 0.5]), fused_iteration=fused,
+                kt_quantize=quant))
+
+        base = run(False)
+        quant = run(True)
+        agree = (base == quant).mean()
+        assert agree > 0.995, (fused, agree)
