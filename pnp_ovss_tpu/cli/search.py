@@ -291,7 +291,10 @@ def main(argv=None):
         else:
             words = [w for n in meta.nms for w in n.replace(",", " ").split()]
             bpe = CLIPBPETokenizer.toy(words)
-        clip_model = CLIPModel(clip_cfg)
+        # Fused flat attention for the 577-token vision tower on TPU
+        # (CPU keeps the einsum path — the interpreter is slower than XLA).
+        clip_impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+        clip_model = CLIPModel(clip_cfg, impl=clip_impl)
         scorer = make_clip_scorer(
             clip_model, clip_params, bpe,
             image_size=clip_cfg.vision.image_size,

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from pnp_ovss_tpu.config import CLIPConfig, CLIPTextConfig, CLIPVisionConfig
 from pnp_ovss_tpu.ops import attention as attn_ops
+from pnp_ovss_tpu.ops import flash_attention as _flash
 
 
 def quick_gelu(x: jax.Array) -> jax.Array:
@@ -55,17 +56,31 @@ class CLIPBlock(nn.Module):
         h = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32,
                          name="ln_1")(x).astype(dtype)
         qkv = nn.Dense(3 * self.hidden_size, dtype=dtype, name="qkv")(h)
-        qkv = qkv.reshape(b, s, 3, self.num_heads, head_dim)
-        q, k, v = (
-            jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)
-        )
-        bias = None
-        if self.causal:
-            bias = jnp.triu(
-                jnp.full((s, s), -1e9, jnp.float32), k=1
-            )[None, None]
-        out = attn_ops.mha(q, k, v, bias, impl=self.impl, out_dtype=dtype)
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b, s, self.hidden_size)
+        if (
+            not self.causal and self.impl == "pallas"
+            and _flash.flat_supported(s, self.num_heads, head_dim)
+        ):
+            # Vision tower (577 tokens at 336px): q/k/v as BlockSpec views
+            # into the qkv output, zero head transposes — same fused flat
+            # kernel as the BLIP ViT (ops/flash_attention.py).
+            out = _flash.flash_mha_flat_qkv(
+                qkv, num_heads=self.num_heads, out_dtype=dtype,
+            )
+        else:
+            qkv = qkv.reshape(b, s, 3, self.num_heads, head_dim)
+            q, k, v = (
+                jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)
+            )
+            bias = None
+            if self.causal:
+                bias = jnp.triu(
+                    jnp.full((s, s), -1e9, jnp.float32), k=1
+                )[None, None]
+            out = attn_ops.mha(q, k, v, bias, impl=self.impl,
+                               out_dtype=dtype)
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
+                b, s, self.hidden_size
+            )
         x = x + nn.Dense(self.hidden_size, dtype=dtype, name="proj")(out)
 
         h = nn.LayerNorm(epsilon=self.eps, dtype=jnp.float32,

@@ -57,10 +57,8 @@ class ViTSelfAttention(nn.Module):
             # directly — zero relayouts. At 336px the attention matmuls
             # are sub-ms; the blockwise kernel's cost was program count +
             # the six per-layer transposes (NOTES round-2 bisect).
-            hsz = c.hidden_size
-            out = _flash.flash_mha_flat(
-                qkv[..., :hsz], qkv[..., hsz:2 * hsz], qkv[..., 2 * hsz:],
-                num_heads=c.num_heads, out_dtype=dtype,
+            out = _flash.flash_mha_flat_qkv(
+                qkv, num_heads=c.num_heads, out_dtype=dtype,
             )
             return nn.Dense(c.hidden_size, dtype=dtype, name="proj")(out)
         qkv = qkv.reshape(b, s, 3, c.num_heads, c.head_dim)
@@ -165,9 +163,11 @@ class ViTBlockFused(nn.Module):
             qkv_k.astype(dtype), qkv_b.astype(dtype),
             eps=c.layer_norm_eps, out_dtype=dtype,
         ).reshape(b, s, 3 * d)
-        out = _flash.flash_mha_flat(
-            qkv[..., :d], qkv[..., d:2 * d], qkv[..., 2 * d:],
-            num_heads=c.num_heads, out_dtype=dtype,
+        # q/k/v are BlockSpec views into the qkv output — XLA would
+        # materialise each strided channel slice as a full copy before
+        # the pallas custom call (~2x qkv-sized HBM traffic per layer).
+        out = _flash.flash_mha_flat_qkv(
+            qkv, num_heads=c.num_heads, out_dtype=dtype,
             true_len=self.true_len,
         )
         # proj + residual: a plain bf16 matmul XLA already runs at full

@@ -17,6 +17,7 @@ caller-facing wrapper; padded keys are masked with -inf inside the kernel.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -63,57 +64,80 @@ _FLAT_BLOCK_Q = 512
 _FLAT_BLOCK_K = 512
 
 
+def _pick_batch_group(b: int, s_pad: int) -> int:
+    """Batch-group size: fold several batch elements into one program when
+    the k loop is a single whole-sequence block (short-sequence regime
+    where per-program overhead, not compute, dominates — the round-2
+    bisect measured ~2us x 6720 programs ~= 13 ms of the 336px encode).
+    Long sequences keep bb=1 (K/V VMEM footprint grows with S_pad).
+    PNP_FLASH_BB forces a value (1 disables grouping) for A/B runs."""
+    env = os.environ.get("PNP_FLASH_BB")
+    if env:
+        forced = int(env)
+        return forced if forced > 0 and b % forced == 0 else 1
+    if s_pad > _FLAT_BLOCK_K:
+        return 1
+    for cand in (5, 4, 3, 2):
+        if b % cand == 0:
+            return cand
+    return 1
+
+
 def _flat_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, hb: int, d: int,
-                 scale: float):
-    """One (batch, head-group, q-block) program: attention for hb heads
-    over the q block, online-softmax over k blocks.
+                 scale: float, bb: int = 1):
+    """One (batch-group, head-group, q-block) program: attention for
+    bb batches x hb heads over the q block, online-softmax over k blocks.
 
     Refs:
       len_ref: SMEM (1,) int32 — true (unpadded) sequence length.
-      q_ref/o_ref: [1, BQ, hb*D] VMEM (flat head-group slices)
-      k_ref/v_ref: [1, S_pad, hb*D] VMEM (whole K/V for this head group)
+      q_ref/o_ref: [bb, BQ, hb*D] VMEM (flat head-group slices)
+      k_ref/v_ref: [bb, S_pad, hb*D] VMEM (whole K/V for this head group)
 
     At 336px (S_pad 512) the k loop runs ONCE — whole-sequence attention
     per program; at 768px (S_pad 2560) it streams 512-wide k blocks with
-    the usual running max/denominator.
+    the usual running max/denominator. ``bb`` batches share one program
+    to amortise per-program DMA-issue overhead (the attention matmuls
+    themselves are sub-ms for the whole encode).
     """
     true_len = len_ref[0]
     bq = q_ref.shape[1]
     s_pad = k_ref.shape[1]
     num_kb = s_pad // _FLAT_BLOCK_K
     neg = jnp.float32(_NEG_INF)
-    for i in range(hb):  # static unroll: head slices are lane-aligned
-        q = q_ref[0, :, i * d:(i + 1) * d].astype(jnp.float32) * scale
+    for bi in range(bb):  # static unroll over the batch group
+        for i in range(hb):  # static unroll: head slices are lane-aligned
+            q = q_ref[bi, :, i * d:(i + 1) * d].astype(jnp.float32) * scale
 
-        def kb_body(kb, carry):
-            acc, m_prev, l_prev = carry
-            k = k_ref[0, pl.ds(kb * _FLAT_BLOCK_K, _FLAT_BLOCK_K),
-                      i * d:(i + 1) * d].astype(jnp.float32)
-            v = v_ref[0, pl.ds(kb * _FLAT_BLOCK_K, _FLAT_BLOCK_K),
-                      i * d:(i + 1) * d].astype(jnp.float32)
-            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-            col = kb * _FLAT_BLOCK_K + jax.lax.broadcasted_iota(
-                jnp.int32, (bq, _FLAT_BLOCK_K), dimension=1
-            )
-            s = jnp.where(col < true_len, s, neg)
-            m_cur = jnp.max(s, axis=-1, keepdims=True)
-            m_new = jnp.maximum(m_prev, m_cur)
-            p = jnp.exp(s - m_new)
-            alpha = jnp.exp(m_prev - m_new)
-            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-            acc = acc * alpha + jnp.dot(
-                p, v, preferred_element_type=jnp.float32
-            )
-            return acc, m_new, l_new
+            def kb_body(kb, carry):
+                acc, m_prev, l_prev = carry
+                k = k_ref[bi, pl.ds(kb * _FLAT_BLOCK_K, _FLAT_BLOCK_K),
+                          i * d:(i + 1) * d].astype(jnp.float32)
+                v = v_ref[bi, pl.ds(kb * _FLAT_BLOCK_K, _FLAT_BLOCK_K),
+                          i * d:(i + 1) * d].astype(jnp.float32)
+                s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+                col = kb * _FLAT_BLOCK_K + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, _FLAT_BLOCK_K), dimension=1
+                )
+                s = jnp.where(col < true_len, s, neg)
+                m_cur = jnp.max(s, axis=-1, keepdims=True)
+                m_new = jnp.maximum(m_prev, m_cur)
+                p = jnp.exp(s - m_new)
+                alpha = jnp.exp(m_prev - m_new)
+                l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                acc = acc * alpha + jnp.dot(
+                    p, v, preferred_element_type=jnp.float32
+                )
+                return acc, m_new, l_new
 
-        acc0 = jnp.zeros((bq, d), jnp.float32)
-        m0 = jnp.full((bq, 1), neg, jnp.float32)
-        l0 = jnp.zeros((bq, 1), jnp.float32)
-        if num_kb == 1:
-            acc, _, l = kb_body(0, (acc0, m0, l0))
-        else:
-            acc, _, l = jax.lax.fori_loop(0, num_kb, kb_body, (acc0, m0, l0))
-        o_ref[0, :, i * d:(i + 1) * d] = (acc / l).astype(o_ref.dtype)
+            acc0 = jnp.zeros((bq, d), jnp.float32)
+            m0 = jnp.full((bq, 1), neg, jnp.float32)
+            l0 = jnp.zeros((bq, 1), jnp.float32)
+            if num_kb == 1:
+                acc, _, l = kb_body(0, (acc0, m0, l0))
+            else:
+                acc, _, l = jax.lax.fori_loop(
+                    0, num_kb, kb_body, (acc0, m0, l0))
+            o_ref[bi, :, i * d:(i + 1) * d] = (acc / l).astype(o_ref.dtype)
 
 
 def flat_supported(s: int, h: int, d: int) -> bool:
@@ -159,14 +183,16 @@ def flash_mha_flat(q2: jax.Array, k2: jax.Array, v2: jax.Array, *,
     true_len = jnp.full((1,), true_len if true_len is not None else s,
                         jnp.int32)
 
-    grid = (b, h // hb, s_pad // bq)
-    kernel = functools.partial(_flat_kernel, hb=hb, d=d, scale=scale)
+    bb = _pick_batch_group(b, s_pad)
+
+    grid = (b // bb, h // hb, s_pad // bq)
+    kernel = functools.partial(_flat_kernel, hb=hb, d=d, scale=scale, bb=bb)
     qspec = pl.BlockSpec(
-        (1, bq, hb * d), lambda bi, hg, qb, *_: (bi, qb, hg),
+        (bb, bq, hb * d), lambda bi, hg, qb, *_: (bi, qb, hg),
         memory_space=pltpu.VMEM,
     )
     kvspec = pl.BlockSpec(
-        (1, s_pad, hb * d), lambda bi, hg, qb, *_: (bi, 0, hg),
+        (bb, s_pad, hb * d), lambda bi, hg, qb, *_: (bi, 0, hg),
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
@@ -180,6 +206,69 @@ def flash_mha_flat(q2: jax.Array, k2: jax.Array, v2: jax.Array, *,
         out_shape=jax.ShapeDtypeStruct((b, s_pad, hd), out_dtype),
         interpret=jax.default_backend() == "cpu",
     )(true_len, qf, kf, vf)
+    return out[:, :s, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "out_dtype", "true_len"))
+def flash_mha_flat_qkv(qkv3: jax.Array, *, num_heads: int, out_dtype=None,
+                       true_len: "int | None" = None):
+    """Fused attention directly on the qkv projection output.
+
+    ``qkv3``: [B, S, 3*H*D] laid out [q | k | v] on the channel axis (the
+    qkv Dense's natural output). Identical math to ``flash_mha_flat`` on
+    the three slices, but the q/k/v views are expressed as BlockSpec
+    index maps into the ONE array — XLA materialises a strided slice of a
+    [B, S, 3D] tensor as a full copy before a custom call, so the sliced
+    form pays ~2x qkv-sized HBM traffic per layer that this entry point
+    removes. Returns [B, S, H*D].
+    """
+    out_dtype = out_dtype or qkv3.dtype
+    b, s, hd3 = qkv3.shape
+    hd = hd3 // 3
+    h = num_heads
+    d = hd // h
+    scale = 1.0 / (d**0.5)
+    hb = HEADS_PER_PROGRAM
+
+    s_pad = -(-s // _FLAT_BLOCK_K) * _FLAT_BLOCK_K
+    bq = min(_FLAT_BLOCK_Q, s_pad)
+    qkvf = jnp.pad(qkv3, [(0, 0), (0, s_pad - s), (0, 0)])
+    true_len = jnp.full((1,), true_len if true_len is not None else s,
+                        jnp.int32)
+
+    bb = _pick_batch_group(b, s_pad)
+
+    nhg = h // hb  # head groups; q/k/v sit nhg block-columns apart
+    grid = (b // bb, nhg, s_pad // bq)
+    kernel = functools.partial(_flat_kernel, hb=hb, d=d, scale=scale, bb=bb)
+    qspec = pl.BlockSpec(
+        (bb, bq, hb * d), lambda bi, hg, qb, *_: (bi, qb, hg),
+        memory_space=pltpu.VMEM,
+    )
+    kspec = pl.BlockSpec(
+        (bb, s_pad, hb * d), lambda bi, hg, qb, *_: (bi, 0, nhg + hg),
+        memory_space=pltpu.VMEM,
+    )
+    vspec = pl.BlockSpec(
+        (bb, s_pad, hb * d), lambda bi, hg, qb, *_: (bi, 0, 2 * nhg + hg),
+        memory_space=pltpu.VMEM,
+    )
+    ospec = pl.BlockSpec(
+        (bb, bq, hb * d), lambda bi, hg, qb, *_: (bi, qb, hg),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[qspec, kspec, vspec],
+            out_specs=ospec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, hd), out_dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(true_len, qkvf, qkvf, qkvf)
     return out[:, :s, :]
 
 

@@ -272,3 +272,27 @@ def test_bpe_merge_order_is_rank_greedy():
     assert tok.bpe("abcd") == "abcd</w>"
     # A word the merges don't fully cover falls back to chars.
     assert tok.bpe("ba") == "b a</w>"
+
+
+def test_clip_block_pallas_flat_matches_xla():
+    """CLIPBlock vision path with impl='pallas' (qkv-view flat flash
+    kernel, no head transposes) == the einsum path, at a flat-supported
+    shape (s=150, d=64)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pnp_ovss_tpu.models.clip import CLIPBlock
+
+    b, s, hidden, heads = 2, 150, 128, 2
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(b, s, hidden) * 0.1, jnp.float32)
+
+    def run(impl):
+        blk = CLIPBlock(hidden_size=hidden, num_heads=heads, mlp_ratio=4.0,
+                        eps=1e-5, dtype="float32", causal=False, impl=impl)
+        p = blk.init(jax.random.PRNGKey(0), x)
+        return np.asarray(blk.apply(p, x))
+
+    np.testing.assert_allclose(run("pallas"), run("xla"),
+                               rtol=2e-4, atol=2e-4)

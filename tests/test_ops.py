@@ -125,6 +125,80 @@ def test_flash_mha_flat_matches_xla():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_flash_mha_flat_batch_group_matches_xla():
+    """Batch-grouped program path (b=5 -> bb=5, the production B=35
+    grouping in miniature; odd group so sublane alignment is exercised)
+    == transposed XLA attention."""
+    from pnp_ovss_tpu.ops.flash_attention import (
+        flash_mha_flat, flat_supported,
+    )
+
+    rng = np.random.RandomState(11)
+    b, s, h, d = 5, 443, 2, 64
+    q2 = jnp.asarray(rng.randn(b, s, h * d), jnp.float32)
+    k2 = jnp.asarray(rng.randn(b, s, h * d), jnp.float32)
+    v2 = jnp.asarray(rng.randn(b, s, h * d), jnp.float32)
+    assert flat_supported(s, h, d)
+    got = np.asarray(flash_mha_flat(q2, k2, v2, num_heads=h, true_len=s))
+
+    def split(x):
+        return jnp.transpose(x.reshape(b, s, h, d), (0, 2, 1, 3))
+
+    want = np.asarray(jnp.transpose(
+        attn_ops.mha_xla(split(q2), split(k2), split(v2)), (0, 2, 1, 3)
+    ).reshape(b, s, h * d))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_mha_flat_qkv_views_match_sliced():
+    """flash_mha_flat_qkv (q/k/v as BlockSpec views into one [B, S, 3HD]
+    array) == flash_mha_flat on the three channel slices — both against
+    XLA. Covers the padded-true-len and batch-grouped paths."""
+    from pnp_ovss_tpu.ops.flash_attention import (
+        flash_mha_flat, flash_mha_flat_qkv,
+    )
+
+    rng = np.random.RandomState(12)
+    b, s, h, d = 4, 443, 4, 64
+    qkv = jnp.asarray(rng.randn(b, s, 3 * h * d), jnp.float32)
+    hd = h * d
+    got = np.asarray(
+        flash_mha_flat_qkv(qkv, num_heads=h, true_len=s)
+    )
+    want = np.asarray(flash_mha_flat(
+        qkv[..., :hd], qkv[..., hd:2 * hd], qkv[..., 2 * hd:],
+        num_heads=h, true_len=s,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def split(x):
+        return jnp.transpose(x.reshape(b, s, h, d), (0, 2, 1, 3))
+
+    xla = np.asarray(jnp.transpose(attn_ops.mha_xla(
+        split(qkv[..., :hd]), split(qkv[..., hd:2 * hd]),
+        split(qkv[..., 2 * hd:])
+    ), (0, 2, 1, 3)).reshape(b, s, hd))
+    np.testing.assert_allclose(got, xla, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_mha_flat_qkv_long_sequence():
+    """qkv-view entry point on the multi-k-block path (s=700 -> S_pad
+    1024, bb=1): the 768px regime in miniature."""
+    from pnp_ovss_tpu.ops.flash_attention import (
+        flash_mha_flat, flash_mha_flat_qkv,
+    )
+
+    rng = np.random.RandomState(13)
+    b, s, h, d = 1, 700, 2, 64
+    hd = h * d
+    qkv = jnp.asarray(rng.randn(b, s, 3 * hd), jnp.float32)
+    got = np.asarray(flash_mha_flat_qkv(qkv, num_heads=h))
+    want = np.asarray(flash_mha_flat(
+        qkv[..., :hd], qkv[..., hd:2 * hd], qkv[..., 2 * hd:], num_heads=h,
+    ))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_flash_mha_flat_long_sequence_matches_xla():
     """Multi-k-block online-softmax path (s=700 -> S_pad 1024, 2 q-blocks
     x 2 k-blocks) == XLA attention — the 768px regime in miniature."""
