@@ -165,6 +165,12 @@ def mean_field_crf_variants(
     A scalar still broadcasts to both axes.
     (Measured on the synthetic postprocess gate: the UNscaled bucket CRF
     drifts several mIoU points from the exact-GT-resolution anchor.)
+
+    ``kt_quantize`` stores the materialised kernel as uint8
+    (round(k * 255); the dequant scale rides the normaliser fold),
+    halving the bandwidth-bound per-iteration kernel read. Only applies
+    to the materialised strided path; None reads the PNP_CRF_KT_Q env
+    override and defaults to False.
     """
     v, c, h, w = logits.shape
     n = h * w
