@@ -58,21 +58,26 @@ extern "C" {
 int rle_decode_string(const char* s, int64_t h, int64_t w, uint8_t* out) {
   std::vector<int64_t> counts;
   for (const char* p = s; *p;) {
-    int64_t x = 0;
+    // Accumulate in uint64_t: the 13th char (k == 12) shifts its payload
+    // to bit 60, and payloads >= 8 would overflow into/past the int64
+    // sign bit — signed-overflow UB before C++20. Unsigned shifts and the
+    // final wraparound cast are fully defined.
+    uint64_t ux = 0;
     int k = 0;
     bool more = true;
     while (more) {
       if (!*p) return -1;
-      // 13 x 5-bit chars exceed int64 range; shifting by >= 64 is UB, so
-      // reject over-long (malformed/corrupt) varints outright.
+      // 13 x 5-bit chars exceed the 64-bit range; reject over-long
+      // (malformed/corrupt) varints outright.
       if (k > 12) return -1;
-      const int64_t c = static_cast<int64_t>(*p) - 48;
-      x |= (c & 0x1F) << (5 * k);
+      const uint64_t c = static_cast<uint64_t>(*p) - 48;
+      ux |= (c & 0x1F) << (5 * k);
       more = (c & 0x20) != 0;
       ++p;
       ++k;
-      if (!more && (c & 0x10) && 5 * k < 64) x |= -1LL << (5 * k);
+      if (!more && (c & 0x10) && 5 * k < 64) ux |= ~uint64_t{0} << (5 * k);
     }
+    int64_t x = static_cast<int64_t>(ux);
     if (counts.size() > 2) x += counts[counts.size() - 2];
     counts.push_back(x);
   }

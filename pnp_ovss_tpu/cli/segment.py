@@ -73,7 +73,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--crf_mode", default=None,
                    choices=["strided", "nystrom"],
                    help="device-CRF bilateral approximation (default: "
-                        "config nystrom; see ops/crf.py)")
+                        "config strided s=4; WARNING: nystrom s8 fails "
+                        "the 5-seed synthetic gate at -4.7 mIoU pts — "
+                        "see SYNTH_GATE.json and ops/crf.py)")
     p.add_argument("--crf_subsample", type=int, default=None,
                    help="bilateral anchor-grid stride (1 = exact)")
     p.add_argument("--crf_xy_bucket_pixels", action="store_true",

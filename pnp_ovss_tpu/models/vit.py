@@ -254,7 +254,8 @@ class VisionTransformer(nn.Module):
             self.impl == "pallas"
             and os.environ.get("PNP_VIT_FUSED", "1") not in ("0", "false")
             and _flash.flat_supported(c.seq_len, c.num_heads, c.head_dim)
-            and _vbp.supported(c.hidden_size, 3 * c.hidden_size)
+            and _vbp.supported(c.hidden_size, 3 * c.hidden_size,
+                               mlp_hidden=int(c.hidden_size * c.mlp_ratio))
         )
         if use_fused:
             # Whole-encode padded layout: pad ONCE to the flash kernel's

@@ -286,10 +286,12 @@ def mean_field_crf_variants(
         # fit the 64-row packing and the default include-self semantics
         # apply; the unfused loop remains the general path.
         fused = fused_iteration
+        fused_source = "kwarg" if fused is not None else None
         if fused is None:
             env = os.environ.get("PNP_CRF_FUSED")  # A/B debug override
             if env is not None:
                 fused = env not in ("0", "false", "")
+                fused_source = "env"
             else:
                 fused = (
                     bilateral_impl == "pallas" and not exclude_self
@@ -329,6 +331,37 @@ def mean_field_crf_variants(
                 if kt_quantize else k_full.astype(mm_dtype)
             )
         m_pad = kt_mat.shape[0]
+
+        # Forcing fused on (kwarg or PNP_CRF_FUSED=1) must not bypass the
+        # auto-gate's prerequisites: exclude_self has no fused correction
+        # (silently different labels), v*c > 64 breaks the row packing,
+        # and a non-128-multiple M/N violates crf_fused_iteration's
+        # documented caller guarantee (ADVICE r3 medium #2). Explicit
+        # kwarg -> hard error; env A/B override -> warn and fall back so
+        # a global PNP_CRF_FUSED=1 sweep still runs the other configs.
+        if fused and fused_source is not None:
+            problems = []
+            if exclude_self:
+                problems.append("exclude_self=True (the fused kernel "
+                                "keeps the self term)")
+            if v * c > 64:
+                problems.append(f"v*c={v * c} > 64 row-packing limit")
+            if n % 128 != 0:
+                problems.append(f"N={n} not a multiple of 128")
+            if m_pad % 128 != 0:
+                problems.append(
+                    f"M={m_pad} not 128-aligned (bilateral_impl="
+                    f"{bilateral_impl!r} builds an unpadded kernel)")
+            if problems:
+                msg = ("fused CRF iteration requested but unusable: "
+                       + "; ".join(problems))
+                if fused_source == "kwarg":
+                    raise ValueError(msg)
+                import warnings
+
+                warnings.warn(msg + " — falling back to the unfused loop",
+                              stacklevel=2)
+                fused = False
 
         def take_j_pad(q_cn):  # [C', N] -> [C', M_pad] f32
             qs = take_j_cols(q_cn)
@@ -386,6 +419,14 @@ def mean_field_crf_variants(
             return kernel_matmul(
                 feats_bi, take_j(q_cn.T), feats_bi_j
             ).T
+
+    if fused_iteration and not fused:
+        raise ValueError(
+            "fused_iteration=True requires the materialised strided "
+            "bilateral path (bilateral_mode='strided', subsample > 1, "
+            "materialize_kernel) — this call resolved to "
+            f"mode={bilateral_mode!r}, subsample={s}, "
+            f"materialize_kernel={bool(materialize_kernel)}")
 
     # Degrees / symmetric normalisers (constant across iterations).
     deg_bi = bilateral_apply(jnp.ones((1, n), jnp.float32))  # [1, N]

@@ -46,11 +46,20 @@ _BN_QKV = 1024   # output-column block of ln_matmul
 _BF = 512        # hidden-column block of the MLP kernel
 
 
-def supported(d_model: int, d_out: int | None = None) -> bool:
-    """Shapes the kernels tile cleanly (wrappers pad rows, never cols)."""
+def supported(d_model: int, d_out: int | None = None,
+              mlp_hidden: int | None = None) -> bool:
+    """Shapes the kernels tile cleanly (wrappers pad rows, never cols).
+
+    ``mlp_hidden`` (F = d_model * mlp_ratio) must be a 128-multiple for
+    ln_mlp_residual — its hidden axis is BLOCKED, never padded, so a
+    ragged F would silently drop the tail channels without this gate
+    (and ln_mlp_residual itself raises as a backstop).
+    """
     ok = d_model % 128 == 0
     if d_out is not None:
         ok = ok and d_out % 128 == 0
+    if mlp_hidden is not None:
+        ok = ok and mlp_hidden % 128 == 0
     return ok
 
 
@@ -164,20 +173,44 @@ def _erf_f32(x):
     return xc * _horner(_ERF_P, xc * xc)
 
 
+def _erf_f32_full(x):
+    """f32-accurate erf: cheap poly core + erfc tail for |x| > 2.2.
+
+    The bf16 path can clamp at 2.2 because erf(x >= 2.19) rounds to 1.0
+    in bf16; at f32 output precision that clamp leaves up to ~2e-3
+    absolute gelu error in the tail (ADVICE r3 low #3). Tail branch:
+    Abramowitz-Stegun 7.1.26 erfc rational fit, |eps| <= 1.5e-7 — well
+    inside the 3e-4 equivalence tolerance the f32 tests assert. Both
+    branches are computed vectorized and selected; the extra exp only
+    rides the f32 configs (CPU path / f32 dtype), never the shipping
+    bf16 kernel.
+    """
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + jnp.float32(0.3275911) * ax)
+    poly = t * (jnp.float32(0.254829592) + t * (
+        jnp.float32(-0.284496736) + t * (jnp.float32(1.421413741) + t * (
+            jnp.float32(-1.453152027) + t * jnp.float32(1.061405429)))))
+    tail = jnp.float32(1.0) - poly * jnp.exp(-ax * ax)
+    return jnp.where(ax <= 2.2, _erf_f32(x), jnp.sign(x) * tail)
+
+
 def _gelu_exact(y16):
     """Exact-erf gelu: y * (erf(y/sqrt2) + 1) / 2, same steps and dtype
     flow as jax.nn.gelu(approximate=False).
 
-    Validated by enumerating ALL finite bf16 inputs against jitted
-    jax.nn.gelu on the TPU: 24 mismatching codes in the realistic
-    domain (|y| < 3.5, abs diff <= 2.4e-3 — the bf16 (e+1) cancellation
-    zone where XLA's own output is ~1-ulp noise), everything else
-    bit-equal or below 4e-23 absolute.
+    bf16 output uses the single-branch clamped erf — validated by
+    enumerating ALL finite bf16 inputs against jitted jax.nn.gelu on the
+    TPU: 24 mismatching codes in the realistic domain (|y| < 3.5, abs
+    diff <= 2.4e-3 — the bf16 (e+1) cancellation zone where XLA's own
+    output is ~1-ulp noise), everything else bit-equal or below 4e-23
+    absolute. Non-bf16 outputs get the tail-corrected erf (see
+    _erf_f32_full).
     """
     dt = y16.dtype
     sqrt2 = jnp.asarray(np.sqrt(2), dt)
     t = y16 / sqrt2
-    e = _erf_f32(t.astype(jnp.float32)).astype(dt)
+    erf = _erf_f32 if dt == jnp.bfloat16 else _erf_f32_full
+    e = erf(t.astype(jnp.float32)).astype(dt)
     # (e+1)/2 first: the halving is exact (exponent shift) so the single
     # rounding happens at the same multiply as XLA's x*(e+1)/2 order,
     # without overflowing y*(e+1) near the bf16 max.
@@ -253,6 +286,13 @@ def ln_mlp_residual(x: jax.Array, gamma: jax.Array, beta: jax.Array,
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
     if f % bf != 0:
         bf = 128
+    if f % bf != 0:
+        # The hidden axis is blocked, never padded: a ragged F would
+        # silently drop the tail channels (ADVICE r3 medium #1).
+        raise ValueError(
+            f"ln_mlp_residual needs the MLP hidden dim to be a multiple "
+            f"of 128, got F={f}; gate on vit_block_pallas.supported("
+            f"d, mlp_hidden=F) and fall back to the unfused path")
     f_blocks = f // bf
     grid = (m_pad // bm, f_blocks)
     kernel = functools.partial(_ln_mlp_kernel, eps=eps, f_blocks=f_blocks)

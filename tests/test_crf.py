@@ -467,3 +467,52 @@ def test_crf_kt_quantized_matches_bf16_labels():
         quant = run(True)
         agree = (base == quant).mean()
         assert agree > 0.995, (fused, agree)
+
+
+def test_fused_force_guard():
+    """ADVICE r3 medium #2: forcing fused_iteration must not bypass the
+    auto-gate's prerequisites — exclude_self has no fused correction and
+    a non-materialised config has no fused path at all. Explicit kwarg
+    raises; the PNP_CRF_FUSED env A/B override warns and falls back."""
+    import os
+    import warnings
+
+    from pnp_ovss_tpu.ops.crf import mean_field_crf_variants
+
+    cfg = CRFConfig(num_iters=2)
+    h, w = 32, 32
+    rng = np.random.RandomState(5)
+    image, logits = _scene_textured(rng, h, w)
+    logits2 = logits[None]
+
+    # kwarg + exclude_self -> hard error, never silently-wrong labels.
+    with pytest.raises(ValueError, match="exclude_self"):
+        mean_field_crf_variants(
+            jnp.asarray(logits2), jnp.asarray(image), cfg,
+            bilateral_impl="pallas", bilateral_subsample=4,
+            exclude_self=True, fused_iteration=True)
+
+    # kwarg on a path with no fused implementation (nystrom) -> error.
+    with pytest.raises(ValueError, match="materialised strided"):
+        mean_field_crf_variants(
+            jnp.asarray(logits2), jnp.asarray(image), cfg,
+            bilateral_impl="pallas", bilateral_subsample=4,
+            bilateral_mode="nystrom", fused_iteration=True)
+
+    # env override -> warn + fall back to the (correct) unfused loop.
+    ref = np.asarray(mean_field_crf_variants(
+        jnp.asarray(logits2), jnp.asarray(image), cfg,
+        bilateral_impl="pallas", bilateral_subsample=4,
+        exclude_self=True))
+    os.environ["PNP_CRF_FUSED"] = "1"
+    try:
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            got = np.asarray(mean_field_crf_variants(
+                jnp.asarray(logits2), jnp.asarray(image), cfg,
+                bilateral_impl="pallas", bilateral_subsample=4,
+                exclude_self=True))
+        assert any("falling back" in str(r.message) for r in rec)
+    finally:
+        del os.environ["PNP_CRF_FUSED"]
+    np.testing.assert_array_equal(got, ref)

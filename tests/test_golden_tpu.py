@@ -1,7 +1,8 @@
 """On-device realistic-scale regression golden (VERDICT r2 #2).
 
-Re-runs the full-config pipeline (336px, drop4, blur+CRF, bucket 224,
-strided s4, fixed-seed random weights) on the TPU and compares against the
+Re-runs the full-config pipeline (336px, drop4, blur+CRF, bucket 192,
+strided s4, fixed-seed random weights — the round-3 shipping defaults;
+see scripts/capture_golden_tpu.py) on the TPU and compares against the
 committed fixture tests/golden_tpu.npz (captured by
 scripts/capture_golden_tpu.py).
 

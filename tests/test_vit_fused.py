@@ -133,3 +133,47 @@ def test_erf_polynomial_accuracy():
     want16 = np.asarray(jnp.asarray(want[outer]).astype(jnp.bfloat16),
                         np.float32)
     np.testing.assert_array_equal(got16, want16)
+
+
+def test_erf_full_f32_tail_accuracy():
+    """ADVICE r3 low #3: the f32 (non-bf16) gelu path must not carry the
+    bf16 clamp's ~2e-3 tail error; the erfc tail branch keeps the full
+    range within the poly's own 1e-6 fit accuracy of lax.erf (the tail
+    branch itself is <= 3e-7; the core poly's f32 Horner peaks ~8e-7
+    near the 2.2 seam)."""
+    from pnp_ovss_tpu.ops.vit_block_pallas import _erf_f32_full
+
+    xs = jnp.asarray(np.linspace(-8, 8, 40001), jnp.float32)
+    got = np.asarray(_erf_f32_full(xs))
+    want = np.asarray(jax.lax.erf(xs))
+    assert np.abs(got - want).max() < 1.5e-6
+    tail = np.abs(np.asarray(xs)) > 2.2
+    assert np.abs(got[tail] - want[tail]).max() < 4e-7
+
+
+def test_gelu_f32_tail_matches_jax():
+    """gelu at f32 output with activations beyond the bf16 clamp zone
+    (|y| in 3..8) must match jax.nn.gelu to f32 accuracy, not 2e-3."""
+    from pnp_ovss_tpu.ops.vit_block_pallas import _gelu_exact
+
+    ys = jnp.asarray(
+        np.concatenate([np.linspace(-8, 8, 8001),
+                        np.linspace(2.9, 3.5, 2001)]), jnp.float32)
+    got = np.asarray(_gelu_exact(ys))
+    want = np.asarray(jax.nn.gelu(ys, approximate=False))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
+def test_ln_mlp_residual_ragged_f_raises():
+    """ADVICE r3 medium #1: F not a 128-multiple must raise, never
+    silently drop the tail hidden channels."""
+    from pnp_ovss_tpu.ops import vit_block_pallas as vbp
+
+    m, d, f = 16, 128, 448  # d * mlp_ratio 3.5 -> ragged F
+    args = [jnp.zeros((m, d)), jnp.ones(d), jnp.zeros(d),
+            jnp.zeros((d, f)), jnp.zeros(f), jnp.zeros((f, d)),
+            jnp.zeros(d)]
+    with pytest.raises(ValueError, match="multiple of 128"):
+        ln_mlp_residual(*args, out_dtype=jnp.float32)
+    assert not vbp.supported(d, 3 * d, mlp_hidden=f)
+    assert vbp.supported(d, 3 * d, mlp_hidden=512)
