@@ -63,7 +63,7 @@ class CLIPBlock(nn.Module):
             # Vision tower (577 tokens at 336px): q/k/v as BlockSpec views
             # into the qkv output, zero head transposes — same fused flat
             # kernel as the BLIP ViT (ops/flash_attention.py).
-            out = _flash.flash_mha_flat_qkv(
+            out = _flash.flash_mha_from_qkv(
                 qkv, num_heads=self.num_heads, out_dtype=dtype,
             )
         else:

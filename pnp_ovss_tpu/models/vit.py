@@ -57,7 +57,7 @@ class ViTSelfAttention(nn.Module):
             # directly — zero relayouts. At 336px the attention matmuls
             # are sub-ms; the blockwise kernel's cost was program count +
             # the six per-layer transposes (NOTES round-2 bisect).
-            out = _flash.flash_mha_flat_qkv(
+            out = _flash.flash_mha_from_qkv(
                 qkv, num_heads=c.num_heads, out_dtype=dtype,
             )
             return nn.Dense(c.hidden_size, dtype=dtype, name="proj")(out)
@@ -166,7 +166,7 @@ class ViTBlockFused(nn.Module):
         # q/k/v are BlockSpec views into the qkv output — XLA would
         # materialise each strided channel slice as a full copy before
         # the pallas custom call (~2x qkv-sized HBM traffic per layer).
-        out = _flash.flash_mha_flat_qkv(
+        out = _flash.flash_mha_from_qkv(
             qkv, num_heads=c.num_heads, out_dtype=dtype,
             true_len=self.true_len,
         )

@@ -272,6 +272,28 @@ def flash_mha_flat_qkv(qkv3: jax.Array, *, num_heads: int, out_dtype=None,
     return out[:, :s, :]
 
 
+def flash_mha_from_qkv(qkv3: jax.Array, *, num_heads: int, out_dtype=None,
+                       true_len: "int | None" = None):
+    """Model-facing dispatch over the two flat entry points.
+
+    Default: ``flash_mha_flat_qkv`` (q/k/v as BlockSpec index-map views
+    into the one [B, S, 3HD] array — no materialised channel slices).
+    ``PNP_FLASH_QKV=0`` routes through plain channel slices +
+    ``flash_mha_flat`` instead, for end-to-end A/B of exactly the
+    qkv-view change (same ``_flat_kernel`` body either way, so the
+    outputs are bit-identical; only the HBM traffic differs).
+    """
+    if os.environ.get("PNP_FLASH_QKV", "1") in ("0", "false"):
+        hd = qkv3.shape[-1] // 3
+        return flash_mha_flat(
+            qkv3[..., :hd], qkv3[..., hd:2 * hd], qkv3[..., 2 * hd:],
+            num_heads=num_heads, out_dtype=out_dtype, true_len=true_len,
+        )
+    return flash_mha_flat_qkv(
+        qkv3, num_heads=num_heads, out_dtype=out_dtype, true_len=true_len,
+    )
+
+
 def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, kv_len_padded: int,
                   scale: float):
     """One (batch*head, q-block) program: online-softmax over k blocks.

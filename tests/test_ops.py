@@ -242,3 +242,19 @@ def test_vit_attention_flat_path_matches_xla_impl():
     want = np.asarray(mod_x.apply(params, x))
     got = np.asarray(ViTSelfAttention(cfg, impl="pallas").apply(params, x))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_from_qkv_dispatch(monkeypatch):
+    """flash_mha_from_qkv: PNP_FLASH_QKV=0 routes through channel slices
+    + flash_mha_flat, default through the qkv-view kernel — identical
+    outputs (same kernel body), so the env knob is a pure perf A/B."""
+    from pnp_ovss_tpu.ops.flash_attention import flash_mha_from_qkv
+
+    rng = np.random.RandomState(11)
+    b, s, h, d = 2, 130, 4, 64
+    qkv = jnp.asarray(rng.randn(b, s, 3 * h * d), jnp.float32)
+    monkeypatch.delenv("PNP_FLASH_QKV", raising=False)
+    got_view = np.asarray(flash_mha_from_qkv(qkv, num_heads=h))
+    monkeypatch.setenv("PNP_FLASH_QKV", "0")
+    got_sliced = np.asarray(flash_mha_from_qkv(qkv, num_heads=h))
+    np.testing.assert_allclose(got_view, got_sliced, rtol=2e-5, atol=2e-5)
