@@ -237,19 +237,24 @@ def _crf_iter_kernel(qsub_ref, kt_ref, u_ref, msp_ref, nb_ref, o_ref, *,
     Refs:
       qsub_ref: [R, M]  bf16/f32 — norm_j-scaled strided-subset state
                 (whole, every program; R = v*c padded to sublanes)
-      kt_ref:   [M, BN] bf16/f32 — materialised kernel columns
-      u_ref:    [R, BN] f32 — minus-unary (pad rows zero)
-      msp_ref:  [R, BN] f32 — spatial message, pos_w/norm_sp applied
+      kt_ref:   [M, BN] bf16/f32/uint8 — materialised kernel columns
+      u_ref:    [R, BN] f32/bf16 — minus-unary (pad rows zero)
+      msp_ref:  [R, BN] f32/bf16 — spatial message, pos_w/norm_sp applied
       nb_ref:   [8, BN] f32 — bi_w * norm_bi (row 0; broadcast rows)
-      o_ref:    [R, BN] f32 — next-iteration Q (pad rows exactly zero)
+      o_ref:    [R, BN] f32/bf16 — next-iteration Q (pad rows zero)
+
+    u/msp/o may be bf16 (the state-precision knob): energies and the
+    softmax always run f32 in-register; only the HBM streams shrink.
     """
     kt = kt_ref[:]
-    if kt.dtype != qsub_ref.dtype:  # uint8 storage: convert tile in VMEM
-        kt = kt.astype(qsub_ref.dtype)
+    mm_dtype = qsub_ref.dtype
+    if kt.dtype != mm_dtype:  # uint8 storage: convert tile in VMEM
+        kt = kt.astype(mm_dtype)
     y = jnp.dot(qsub_ref[:], kt, preferred_element_type=jnp.float32)
     # nb carries bi_w * norm_bi (and the 1/KT_QUANT_SCALE fold when the
     # kernel is uint8-quantised), so y needs no separate rescale.
-    e = nb_ref[0:1, :] * y + msp_ref[:] + u_ref[:]
+    e = (nb_ref[0:1, :] * y + msp_ref[:].astype(jnp.float32)
+         + u_ref[:].astype(jnp.float32))
     r, bn = e.shape
     row = jax.lax.broadcasted_iota(jnp.int32, (r, bn), 0)
     neg = jnp.float32(-1e30)
@@ -259,7 +264,7 @@ def _crf_iter_kernel(qsub_ref, kt_ref, u_ref, msp_ref, nb_ref, o_ref, *,
         mv = jnp.max(jnp.where(sel, e, neg), axis=0, keepdims=True)
         pv = jnp.where(sel, jnp.exp(e - mv), 0.0)
         out = out + pv / jnp.sum(pv, axis=0, keepdims=True)
-    o_ref[:] = out
+    o_ref[:] = out.astype(o_ref.dtype)
 
 
 def _pick_bn(n: int) -> int:
@@ -269,23 +274,25 @@ def _pick_bn(n: int) -> int:
     raise ValueError(f"N={n} not a multiple of 128")
 
 
-@functools.partial(jax.jit, static_argnames=("v", "c"))
+@functools.partial(jax.jit, static_argnames=("v", "c", "out_dtype"))
 def crf_fused_iteration(
     qsub: jax.Array,   # [R, M] bf16 (f32 on CPU)
-    kt: jax.Array,     # [M, N] bf16 (f32 on CPU)
-    u_neg: jax.Array,  # [R, N] f32
-    msp: jax.Array,    # [R, N] f32
+    kt: jax.Array,     # [M, N] bf16/uint8 (f32 on CPU)
+    u_neg: jax.Array,  # [R, N] f32 or bf16 (state-precision knob)
+    msp: jax.Array,    # [R, N] f32 or bf16
     nb: jax.Array,     # [8, N] f32 (bi_w * norm_bi broadcast rows)
     *,
     v: int,
     c: int,
+    out_dtype=jnp.float32,
 ):
     """Fused bilateral-matmul + energy + blockwise-softmax iteration.
 
     Caller guarantees: R (rows) a sublane multiple with v*c <= R and pad
     rows of u_neg zero, M a multiple of 128 with pad columns of qsub and
-    pad rows of kt zero, N a multiple of 128. Returns [R, N] f32 with pad
-    rows exactly zero.
+    pad rows of kt zero, N a multiple of 128. Returns [R, N] in
+    ``out_dtype`` with pad rows exactly zero (softmax runs f32 in
+    VMEM regardless; out_dtype only sets the HBM-resident state width).
     """
     r, m = qsub.shape
     _, n = kt.shape
@@ -304,7 +311,7 @@ def crf_fused_iteration(
         ],
         out_specs=pl.BlockSpec((r, bn), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((r, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((r, n), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * r * m * n,
             bytes_accessed=m * n * kt.dtype.itemsize + 3 * r * n * 4,

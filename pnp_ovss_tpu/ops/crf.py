@@ -51,25 +51,33 @@ def _diff_matrix_np(n: int) -> np.ndarray:
     return idx[:, None] - idx[None, :]
 
 
-def spatial_gaussian_apply(q: jax.Array, sigma) -> jax.Array:
-    """K @ q for the separable 2D spatial Gaussian. q: [..., H, W].
-
-    ``sigma`` may be a Python float, a traced scalar, or a shape-[2]
-    ``(sigma_y, sigma_x)`` pair (the per-image per-axis GT-relative
-    rescaling path); the kernel values are computed in-graph from static
-    index-difference matrices either way (H^2 + W^2 exps — noise next to
-    the N*M bilateral term).
-    """
-    h, w = q.shape[-2:]
+def spatial_band_matrices(h: int, w: int, sigma):
+    """(kh [H, H], kw [W, W]) Gaussian band matrices for the separable
+    2D spatial kernel. ``sigma``: float, traced scalar, or shape-[2]
+    ``(sigma_y, sigma_x)``; values are computed in-graph from static
+    index-difference matrices (H^2 + W^2 exps — noise next to the N*M
+    bilateral term)."""
     sigma = jnp.broadcast_to(
         jnp.asarray(sigma, jnp.float32).reshape(-1), (2,)
     )
     kh = jnp.exp(-0.5 * (jnp.asarray(_diff_matrix_np(h)) / sigma[0]) ** 2)
     kw = jnp.exp(-0.5 * (jnp.asarray(_diff_matrix_np(w)) / sigma[1]) ** 2)
+    return kh, kw
+
+
+def _apply_separable(kh, kw, q):
+    """kh @ Q @ kw^T per leading index (kh/kw symmetric here)."""
     y = jnp.einsum("ij,...jw->...iw", kh, q.astype(jnp.float32),
                    preferred_element_type=jnp.float32)
     return jnp.einsum("ij,...hj->...hi", kw, y,
                       preferred_element_type=jnp.float32)
+
+
+def spatial_gaussian_apply(q: jax.Array, sigma) -> jax.Array:
+    """K @ q for the separable 2D spatial Gaussian. q: [..., H, W]."""
+    h, w = q.shape[-2:]
+    kh, kw = spatial_band_matrices(h, w, sigma)
+    return _apply_separable(kh, kw, q)
 
 
 def bilateral_features(
@@ -456,26 +464,62 @@ def mean_field_crf_variants(
         # per-variant softmax all happen in VMEM (crf_fused_iteration).
         r_rows = -(-(v * c) // 16) * 16
         pad_r = r_rows - v * c
-        u_neg = jnp.pad(-u_flat, ((0, pad_r), (0, 0)))
+        # bf16 state (PNP_CRF_STATE=bf16): the carried Q, the constant
+        # -U and the spatial message stream at half width; energies and
+        # the softmax still run f32 in VMEM. Q holds probabilities in
+        # [0, 1] and U is O(10) log-space, so the rounding noise is the
+        # same order as the uint8 kernel quantisation — gate-checked.
+        state_dtype = (
+            jnp.bfloat16
+            if os.environ.get("PNP_CRF_STATE", "f32").lower()
+            in ("bf16", "bfloat16")
+            else jnp.float32
+        )
+        u_neg = jnp.pad(-u_flat, ((0, pad_r), (0, 0))).astype(state_dtype)
         # The fused kernel's dot consumes the raw stored kernel, so the
         # uint8 dequant scale folds into nb here (norm_bi itself came
         # through bilateral_apply, which already descaled).
         nb = jnp.broadcast_to(cfg.bi_w * kt_inv_scale * norm_bi, (8, n))
         norm_j = take_j_pad(norm_bi)  # [1, M_pad]
 
+        if os.environ.get("PNP_CRF_FOLD", "0") not in ("0", "false", ""):
+            # Exact rank-1 normaliser fold: the separable kernel's degree
+            # is the outer product (kh@1)(kw@1)^T, so
+            #   n ⊙ K(n ⊙ q) == (Dh kh Dh) Q (Dw kw Dw),
+            # Dh = diag(rsqrt(kh@1)), Dw likewise — the two full-state
+            # [R, N] elementwise passes per iteration fold into the band
+            # matrices ONCE per image (pure algebra; float-assoc only).
+            # Valid because fused implies exclude_self=False (the -1 on
+            # the degree would break the rank-1 structure).
+            kh_m, kw_m = spatial_band_matrices(h, w, pos_xy_std)
+            nh = jax.lax.rsqrt(jnp.maximum(kh_m.sum(1), 1e-20))
+            nw = jax.lax.rsqrt(jnp.maximum(kw_m.sum(1), 1e-20))
+            khp = nh[:, None] * kh_m * nh[None, :]
+            kwp = nw[:, None] * kw_m * nw[None, :]
+
+            def spatial_msg(q_rn):
+                out = _apply_separable(khp, kwp, q_rn.reshape(r_rows, h, w))
+                return cfg.pos_w * out.reshape(r_rows, n)
+        else:
+            def spatial_msg(q_rn):
+                nsq = (norm_sp_flat * q_rn).reshape(r_rows, h, w)
+                return cfg.pos_w * (
+                    norm_sp_flat
+                    * spatial_gaussian_apply(nsq, pos_xy_std)
+                    .reshape(r_rows, n)
+                )
+
         def body_fused(_, q_rn):
-            nsq = (norm_sp_flat * q_rn).reshape(r_rows, h, w)
-            msp = cfg.pos_w * (
-                norm_sp_flat
-                * spatial_gaussian_apply(nsq, pos_xy_std).reshape(r_rows, n)
-            )
-            qsub = take_j_pad(q_rn) * norm_j
+            msp = spatial_msg(q_rn).astype(state_dtype)
+            qsub = take_j_pad(q_rn) * norm_j  # bf16*f32 promotes to f32
             return crf_fused_iteration(
-                qsub.astype(mm_dtype), kt_mat, u_neg, msp, nb, v=v, c=c
+                qsub.astype(mm_dtype), kt_mat, u_neg, msp, nb, v=v, c=c,
+                out_dtype=state_dtype,
             )
 
         q0_pad = jnp.pad(q0.reshape(v * c, n), ((0, pad_r), (0, 0)))
-        q = jax.lax.fori_loop(0, cfg.num_iters, body_fused, q0_pad)[:v * c]
+        q = jax.lax.fori_loop(0, cfg.num_iters, body_fused,
+                              q0_pad.astype(state_dtype))[:v * c]
         labels = jnp.argmax(q.reshape(v, c, n), axis=1).astype(jnp.int32)
         return labels.reshape(v, h, w)
 
