@@ -32,6 +32,9 @@ run_leg default
 run_leg qkv_sliced PNP_FLASH_QKV=0
 run_leg bb_off     PNP_FLASH_BB=1
 run_leg kt_q       PNP_CRF_KT_Q=1
+run_leg crf_fold   PNP_CRF_FOLD=1
+run_leg crf_bf16   PNP_CRF_STATE=bf16
+run_leg crf_all    PNP_CRF_KT_Q=1 PNP_CRF_FOLD=1 PNP_CRF_STATE=bf16
 
 echo "[r4_ab] 3/3 768px legs" >&2
 run_leg px768_default    BENCH_IMG_SIZE=768
@@ -40,7 +43,8 @@ run_leg px768_qkv_sliced BENCH_IMG_SIZE=768 PNP_FLASH_QKV=0
 {
   echo "## r4 TPU A/B session ($(date -u +%Y-%m-%dT%H:%MZ))"
   echo "- golden at HEAD: rc=$golden_rc"
-  for f in default qkv_sliced bb_off kt_q px768_default px768_qkv_sliced; do
+  for f in default qkv_sliced bb_off kt_q crf_fold crf_bf16 crf_all \
+           px768_default px768_qkv_sliced; do
     echo "- $f: $(tail -1 "$OUT/$f.json" 2>/dev/null)"
   done
 } | tee "$OUT/summary.md"
