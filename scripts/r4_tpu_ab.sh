@@ -40,6 +40,15 @@ echo "[r4_ab] 3/3 768px legs" >&2
 run_leg px768_default    BENCH_IMG_SIZE=768
 run_leg px768_qkv_sliced BENCH_IMG_SIZE=768 PNP_FLASH_QKV=0
 
+if [ "${SKIP_GATE:-0}" != "1" ]; then
+  echo "[r4_ab] 5-seed gate for the combined CRF knobs (long)" >&2
+  PNP_CRF_KT_Q=1 PNP_CRF_FOLD=1 PNP_CRF_STATE=bf16 \
+    timeout 5400 python scripts/synthetic_postprocess_gate.py \
+    --configs strided_s4_b192 --seeds 0,1,2,3,4 --scenes 48 \
+    --out "$OUT/gate_crf_knobs.json" > "$OUT/gate_crf_knobs.log" 2>&1
+  echo "[r4_ab] gate rc=$? -> $OUT/gate_crf_knobs.json" >&2
+fi
+
 {
   echo "## r4 TPU A/B session ($(date -u +%Y-%m-%dT%H:%MZ))"
   echo "- golden at HEAD: rc=$golden_rc"
