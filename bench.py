@@ -5,7 +5,9 @@ reference configuration (Run_seg.sh): BLIP-ITM-Large, 336px, batch 35,
 4 salience-drop rounds, (layer 8, head 9) GradCAM, blur + 10-iter DenseCRF.
 Weights are random (throughput is weight-independent).
 
-Prints ONE JSON line:
+Prints ONE JSON line per leg (the 336px headline first; on TPU a second
+768px long-sequence line follows unless BENCH_768=0 or BENCH_IMG_SIZE
+pins an explicit size):
   {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N/BASELINE}
 
 BASELINE: the reference repo publishes no throughput numbers (BASELINE.md);
@@ -59,6 +61,15 @@ def _probe_backend(timeout_s: float):
     if r.returncode != 0 or "PNP_BENCH_BACKEND" not in r.stdout:
         tail = (r.stderr or r.stdout).strip().splitlines()[-3:]
         return False, " | ".join(tail) if tail else f"rc={r.returncode}"
+    env_cpu = os.environ.get(
+        "JAX_PLATFORMS", "").strip().lower() == "cpu"
+    if "PNP_BENCH_BACKEND cpu" in r.stdout and not env_cpu:
+        # A half-broken plugin can error at init and silently fall back
+        # to CPU: rc 0, healthy-looking sentinel, and the bench would
+        # record a 1-core CPU number under a TPU-shaped metric name —
+        # exactly the infra-down/bench-broken confusion the skip JSON
+        # exists to prevent.
+        return False, "backend fell back to cpu (plugin init failed?)"
     return True, r.stdout.strip()
 
 
@@ -114,8 +125,14 @@ def _arm_watchdog(seconds: float, reason: str):
     return t
 
 
-def _run_leg(img_size: "int | None" = None) -> None:
-    """Build the pipeline at `img_size` and print one JSON line."""
+def _run_leg(img_size: "int | None" = None, *,
+             honor_batch_env: bool = True) -> None:
+    """Build the pipeline at `img_size` and print one JSON line.
+
+    ``honor_batch_env=False`` ignores BENCH_BATCH (the automatic 768px
+    leg: a 336px-sized BENCH_BATCH=35 would put 35 x 2305-token
+    sequences on the chip and OOM a leg the caller never configured).
+    """
     import jax
 
     from pnp_ovss_tpu.config import PipelineConfig
@@ -144,7 +161,8 @@ def _run_leg(img_size: "int | None" = None) -> None:
             ),
         )
     default_batch = (8 if img_size >= 768 else cfg.batch_size) if on_tpu else 2
-    batch = int(os.environ.get("BENCH_BATCH", default_batch))
+    batch = int(os.environ.get("BENCH_BATCH", default_batch)) \
+        if honor_batch_env else default_batch
 
     params = init_params(
         jax.random.PRNGKey(0), cfg.model,
@@ -236,8 +254,12 @@ def main():
     if not _ensure_backend():
         return
 
+    # Post-probe hang backstop. Default 45 min: a cold compile cache
+    # after kernel changes costs minutes per program over the tunnel,
+    # and the watchdog must not misfile a slow healthy compile as an
+    # infra hang (BENCH_WATCHDOG_SECS overrides).
     watchdog = _arm_watchdog(
-        float(os.environ.get("BENCH_WATCHDOG_SECS", 1800)),
+        float(os.environ.get("BENCH_WATCHDOG_SECS", 2700)),
         "tpu_hang_after_probe",
     )
 
@@ -269,10 +291,10 @@ def main():
     if on_tpu and not explicit and \
             os.environ.get("BENCH_768", "1") not in ("0", "false"):
         wd = _arm_watchdog(
-            float(os.environ.get("BENCH_WATCHDOG_SECS", 1800)),
+            float(os.environ.get("BENCH_WATCHDOG_SECS", 2700)),
             "tpu_hang_768_leg",
         )
-        _run_leg(768)
+        _run_leg(768, honor_batch_env=False)
         wd.cancel()
 
 

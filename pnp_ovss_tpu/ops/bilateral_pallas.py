@@ -314,7 +314,12 @@ def crf_fused_iteration(
         out_shape=jax.ShapeDtypeStruct((r, n), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * r * m * n,
-            bytes_accessed=m * n * kt.dtype.itemsize + 3 * r * n * 4,
+            bytes_accessed=(
+                m * n * kt.dtype.itemsize
+                + r * n * (u_neg.dtype.itemsize + msp.dtype.itemsize
+                           + jnp.dtype(out_dtype).itemsize)
+                + r * m * qsub.dtype.itemsize
+            ),
             transcendentals=v * r * n,
         ),
         compiler_params=pltpu.CompilerParams(

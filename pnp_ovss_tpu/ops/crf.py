@@ -435,6 +435,21 @@ def mean_field_crf_variants(
             "materialize_kernel) — this call resolved to "
             f"mode={bilateral_mode!r}, subsample={s}, "
             f"materialize_kernel={bool(materialize_kernel)}")
+    if not fused and fused_iteration is None and not (
+            materialize_kernel and not use_nystrom and s > 1):
+        # (The materialised-but-unusable case already warned above.)
+        env = os.environ.get("PNP_CRF_FUSED")
+        if env is not None and env not in ("0", "false", ""):
+            # The env A/B override only takes effect on the materialised
+            # strided path; say so instead of letting a sweep attribute
+            # an unfused leg's numbers to the fused kernel.
+            import warnings
+
+            warnings.warn(
+                "PNP_CRF_FUSED=1 ignored: this config "
+                f"(mode={bilateral_mode!r}, subsample={s}, "
+                f"materialize_kernel={bool(materialize_kernel)}) has no "
+                "fused path — running the unfused loop", stacklevel=2)
 
     # Degrees / symmetric normalisers (constant across iterations).
     deg_bi = bilateral_apply(jnp.ones((1, n), jnp.float32))  # [1, N]

@@ -17,7 +17,10 @@ run_leg() {  # name, env pairs...
   env "$@" BENCH_768=0 timeout 3600 python bench.py \
     > "$OUT/$name.json" 2> "$OUT/$name.err"
   echo "[r4_ab] $name -> $(tail -1 "$OUT/$name.json")" >&2
-  sleep 20
+  # Full attach cooldown BEFORE the next leg's probe child attaches (a
+  # too-soon attach can hang silently; bench's own settle only runs
+  # after its probe already succeeded).
+  sleep 90
 }
 
 echo "[r4_ab] 1/3 golden at HEAD (production numerics)" >&2

@@ -25,6 +25,14 @@ echo "[round_entry] 1/4 asset probe" >&2
 python scripts/check_assets.py > "$OUT/assets.log" 2>&1
 assets_rc=$?
 assets_line=$(grep -E "accuracy gate runnable" "$OUT/assets.log" | tail -1)
+if [ -n "$assets_line" ] && ! echo "$assets_line" | grep -q "none"; then
+  # CLAUDE.md round-entry rule: if a dataset goes ready, the accuracy
+  # gate runs IMMEDIATELY. The gate needs per-dataset paths this script
+  # cannot guess, so stop loudly instead of burying the event.
+  echo "!!! ASSETS READY: $assets_line" | tee -a "$SUMMARY" >&2
+  echo "!!! Run scripts/run_accuracy_gate.sh <dataset> ... NOW" \
+    | tee -a "$SUMMARY" >&2
+fi
 
 if [ "${SKIP_SUITE:-0}" != "1" ]; then
   echo "[round_entry] 2/4 test suite (30-45 min on the 1-core host)" >&2
@@ -49,9 +57,12 @@ elif [ "$suite_rc" != "0" ] || [ "$golden_rc" != "0" ]; then
   bench_rc=97
 else
   echo "[round_entry] 4/4 bench (quiet host required)" >&2
-  timeout 3600 python bench.py > "$OUT/bench.json" 2> "$OUT/bench.err"
+  timeout 7200 python bench.py > "$OUT/bench.json" 2> "$OUT/bench.err"
   bench_rc=$?
-  bench_line=$(tail -1 "$OUT/bench.json")
+  # bench.py prints one line per leg (336px headline, then 768px);
+  # record them all — tail -1 alone would report the 768px figure as
+  # the round-entry throughput.
+  bench_line=$(paste -sd' | ' "$OUT/bench.json")
 fi
 
 {

@@ -7,11 +7,8 @@ monkeypatching the process-level probe.
 """
 
 import json
-import sys
 
-sys.path.insert(0, "/root/repo")
-
-import bench
+import bench  # conftest puts the repo root on sys.path
 
 
 def _run_ensure(monkeypatch, capsys, probe, retries=2):
@@ -68,3 +65,22 @@ def test_real_probe_subprocess_on_cpu(monkeypatch):
     ok, detail = bench._probe_backend(240)
     assert ok, detail
     assert "PNP_BENCH_BACKEND cpu" in detail
+
+
+def test_probe_rejects_silent_cpu_fallback(monkeypatch):
+    # A plugin that errors at init (instead of hanging) makes JAX fall
+    # back to CPU with rc 0 — the probe must treat that as an outage,
+    # not record a 1-core CPU number under a TPU metric name.
+    import subprocess
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+
+    class FakeDone:
+        returncode = 0
+        stdout = "PNP_BENCH_BACKEND cpu 512.0\n"
+        stderr = ""
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: FakeDone())
+    ok, detail = bench._probe_backend(10)
+    assert not ok
+    assert "fell back to cpu" in detail
