@@ -577,3 +577,39 @@ def test_fused_bf16_state_close_to_f32():
         del os.environ["PNP_CRF_STATE"]
     agree = (base == lowp).mean()
     assert agree > 0.99, agree
+
+
+def test_fused_all_bandwidth_knobs_combined():
+    """The queued TPU A/B `crf_all` leg runs kt_quantize + PNP_CRF_FOLD +
+    PNP_CRF_STATE=bf16 TOGETHER (and the 5-seed gate re-runs that combo).
+    The individual-knob tests cannot catch an interaction bug — e.g. the
+    uint8 dequant scale is folded into `nb` only when the kernel is raw,
+    and the fold rewrites the spatial normaliser the bf16 state streams
+    through — so pin the combination on CPU before burning a TPU leg."""
+    import os
+
+    from pnp_ovss_tpu.ops.crf import mean_field_crf_variants
+
+    cfg = CRFConfig(num_iters=8)
+    h, w = 64, 64
+    rng = np.random.RandomState(11)
+    image, logits = _scene_textured(rng, h, w)
+    logits2 = np.stack([logits, logits[::-1]], 0)
+
+    def run(quant):
+        return np.asarray(mean_field_crf_variants(
+            jnp.asarray(logits2), jnp.asarray(image), cfg,
+            bilateral_impl="pallas", bilateral_subsample=4,
+            xy_scale=jnp.asarray([0.4, 0.5]), fused_iteration=True,
+            kt_quantize=quant))
+
+    base = run(False)
+    os.environ["PNP_CRF_FOLD"] = "1"
+    os.environ["PNP_CRF_STATE"] = "bf16"
+    try:
+        combo = run(True)
+    finally:
+        del os.environ["PNP_CRF_FOLD"]
+        del os.environ["PNP_CRF_STATE"]
+    agree = (base == combo).mean()
+    assert agree > 0.99, agree
