@@ -39,8 +39,22 @@ from pnp_ovss_tpu.ops import vit_block_pallas as _vbp
 
 
 class ViTSelfAttention(nn.Module):
+    """Self-attention; ``sp_axis`` switches to the sequence-parallel form.
+
+    Sequence parallelism (absent from the reference — SURVEY §5 records
+    "no ring attention, no context parallel, no blockwise attention
+    anywhere"): under ``jax.shard_map`` with the token axis sharded over
+    ``sp_axis``, x is the LOCAL contiguous chunk of query rows. K/V are
+    all-gathered across the axis once per layer (at ViT-L 768px that is a
+    [B, S, 2*H*D] bf16 gather riding ICI) and every query attends over
+    the full sequence — per-row math identical to the unsharded encode.
+    ``kv_true_len`` masks gathered keys beyond the real sequence.
+    """
+
     cfg: ViTConfig
     impl: str = "pallas"
+    sp_axis: "str | None" = None
+    kv_true_len: "int | None" = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -48,6 +62,44 @@ class ViTSelfAttention(nn.Module):
         dtype = jnp.dtype(c.dtype)
         b, s, _ = x.shape
         qkv = nn.Dense(3 * c.hidden_size, dtype=dtype, name="qkv")(x)
+        if self.sp_axis is not None:
+            hd = c.hidden_size
+            sp = jax.lax.axis_size(self.sp_axis)
+            skv = s * sp
+            true_len = self.kv_true_len if self.kv_true_len is not None \
+                else skv
+            kv = jax.lax.all_gather(
+                qkv[..., hd:], self.sp_axis, axis=1, tiled=True
+            )  # [B, Skv, 2*H*D], chunk order == token order
+            if self.impl == "pallas" and _flash.xlen_supported(
+                s, skv, c.num_heads, c.head_dim
+            ):
+                out = _flash.flash_mha_flat_xlen(
+                    qkv[..., :hd], kv[..., :hd], kv[..., hd:],
+                    num_heads=c.num_heads, out_dtype=dtype,
+                    true_kv_len=true_len,
+                )
+                return nn.Dense(c.hidden_size, dtype=dtype, name="proj")(out)
+            # XLA fallback (tiny/odd shapes): BHSD attention with a key
+            # mask. Masked keys get exp(-1e30-max) == 0 weight, and the
+            # extra zero products append exact-0 terms to the contraction
+            # — outputs match the unsharded encode bit-for-bit.
+            q = jnp.transpose(
+                qkv[..., :hd].reshape(b, s, c.num_heads, c.head_dim),
+                (0, 2, 1, 3))
+            k = jnp.transpose(
+                kv[..., :hd].reshape(b, skv, c.num_heads, c.head_dim),
+                (0, 2, 1, 3))
+            v = jnp.transpose(
+                kv[..., hd:].reshape(b, skv, c.num_heads, c.head_dim),
+                (0, 2, 1, 3))
+            bias = jnp.where(
+                jnp.arange(skv)[None, None, None, :] < true_len, 0.0, -1e30
+            ).astype(jnp.float32)
+            out = attn_ops.mha_xla(q, k, v, bias, out_dtype=dtype)
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(
+                b, s, c.hidden_size)
+            return nn.Dense(c.hidden_size, dtype=dtype, name="proj")(out)
         if self.impl == "pallas" and _flash.flat_supported(
             s, c.num_heads, c.head_dim
         ):
@@ -73,6 +125,8 @@ class ViTSelfAttention(nn.Module):
 class ViTBlock(nn.Module):
     cfg: ViTConfig
     impl: str = "pallas"
+    sp_axis: "str | None" = None
+    kv_true_len: "int | None" = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -80,7 +134,9 @@ class ViTBlock(nn.Module):
         dtype = jnp.dtype(c.dtype)
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
                          name="norm1")(x).astype(dtype)
-        x = x + ViTSelfAttention(c, impl=self.impl, name="attn")(h)
+        x = x + ViTSelfAttention(c, impl=self.impl, sp_axis=self.sp_axis,
+                                 kv_true_len=self.kv_true_len,
+                                 name="attn")(h)
         h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
                          name="norm2")(x).astype(dtype)
         h = nn.Dense(int(c.hidden_size * c.mlp_ratio), dtype=dtype,
@@ -144,6 +200,7 @@ class ViTBlockFused(nn.Module):
 
     cfg: ViTConfig
     true_len: int
+    sp_axis: "str | None" = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -163,13 +220,27 @@ class ViTBlockFused(nn.Module):
             qkv_k.astype(dtype), qkv_b.astype(dtype),
             eps=c.layer_norm_eps, out_dtype=dtype,
         ).reshape(b, s, 3 * d)
-        # q/k/v are BlockSpec views into the qkv output — XLA would
-        # materialise each strided channel slice as a full copy before
-        # the pallas custom call (~2x qkv-sized HBM traffic per layer).
-        out = _flash.flash_mha_from_qkv(
-            qkv, num_heads=c.num_heads, out_dtype=dtype,
-            true_len=self.true_len,
-        )
+        if self.sp_axis is not None:
+            # Sequence-parallel: x is the local token chunk; gather the
+            # full K/V across the axis (the q slice stays local). Same
+            # k-block schedule as the equal-length kernel, so per-row
+            # outputs match the unsharded encode bit-for-bit.
+            kv = jax.lax.all_gather(
+                qkv[..., d:], self.sp_axis, axis=1, tiled=True
+            )
+            out = _flash.flash_mha_flat_xlen(
+                qkv[..., :d], kv[..., :d], kv[..., d:],
+                num_heads=c.num_heads, out_dtype=dtype,
+                true_kv_len=self.true_len,
+            )
+        else:
+            # q/k/v are BlockSpec views into the qkv output — XLA would
+            # materialise each strided channel slice as a full copy before
+            # the pallas custom call (~2x qkv-sized HBM traffic per layer).
+            out = _flash.flash_mha_from_qkv(
+                qkv, num_heads=c.num_heads, out_dtype=dtype,
+                true_len=self.true_len,
+            )
         # proj + residual: a plain bf16 matmul XLA already runs at full
         # MXU rate and fuses the residual add into (bisect: residuals
         # measured ~free).
@@ -188,10 +259,12 @@ class _ScannedBlockFused(nn.Module):
 
     cfg: ViTConfig
     true_len: int
+    sp_axis: "str | None" = None
 
     @nn.compact
     def __call__(self, x, _):
-        return ViTBlockFused(self.cfg, self.true_len, name="block")(x), None
+        return ViTBlockFused(self.cfg, self.true_len,
+                             sp_axis=self.sp_axis, name="block")(x), None
 
 
 class _ScannedBlock(nn.Module):
@@ -199,10 +272,13 @@ class _ScannedBlock(nn.Module):
 
     cfg: ViTConfig
     impl: str
+    sp_axis: "str | None" = None
+    kv_true_len: "int | None" = None
 
     @nn.compact
     def __call__(self, x, _):
-        return ViTBlock(self.cfg, impl=self.impl, name="block")(x), None
+        return ViTBlock(self.cfg, impl=self.impl, sp_axis=self.sp_axis,
+                        kv_true_len=self.kv_true_len, name="block")(x), None
 
 
 class VisionTransformer(nn.Module):
@@ -216,6 +292,16 @@ class VisionTransformer(nn.Module):
 
     cfg: ViTConfig
     impl: str = "pallas"
+    # Sequence parallelism (TPU-native extension; the reference has no
+    # long-context strategy at all — SURVEY §5). Set to a mesh axis name
+    # and apply the module INSIDE jax.shard_map with images sharded on
+    # the data axis and params replicated (parallel/sequence.py wraps
+    # this): the token axis is split into contiguous per-device chunks
+    # after the (cheap, replicated-within-sp-group) patch embed, every
+    # block's LN/qkv/proj/MLP run on local rows only, attention gathers
+    # K/V across the axis, and the chunks are re-gathered at the end.
+    # Output is identical to the unsharded encode.
+    sp_axis: "str | None" = None
 
     @nn.compact
     def __call__(self, images: jax.Array) -> jax.Array:
@@ -257,6 +343,10 @@ class VisionTransformer(nn.Module):
             and _vbp.supported(c.hidden_size, 3 * c.hidden_size,
                                mlp_hidden=int(c.hidden_size * c.mlp_ratio))
         )
+        sp = 1
+        if self.sp_axis is not None:
+            sp = jax.lax.axis_size(self.sp_axis)  # static under shard_map
+
         if use_fused:
             # Whole-encode padded layout: pad ONCE to the flash kernel's
             # k-block multiple instead of pad/slice around every layer's
@@ -265,23 +355,47 @@ class VisionTransformer(nn.Module):
             # no real row reads (keys >= true_len are masked).
             s_pad = -(-c.seq_len // _flash._FLAT_BLOCK_K) \
                 * _flash._FLAT_BLOCK_K
+            if sp > 1 and (s_pad % sp or (s_pad // sp) % 16):
+                raise ValueError(
+                    f"sequence-parallel chunking needs s_pad={s_pad} "
+                    f"divisible by sp={sp} with 16-row chunks")
             x = jnp.pad(x, ((0, 0), (0, s_pad - c.seq_len), (0, 0)))
+            if sp > 1:
+                x = jax.lax.dynamic_slice_in_dim(
+                    x, jax.lax.axis_index(self.sp_axis) * (s_pad // sp),
+                    s_pad // sp, 1)
             blocks = nn.scan(
                 _ScannedBlockFused,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=c.num_layers,
-            )(c, c.seq_len, name="blocks")
+            )(c, c.seq_len, sp_axis=self.sp_axis if sp > 1 else None,
+              name="blocks")
             x, _ = blocks(x, None)
+            if sp > 1:
+                x = jax.lax.all_gather(x, self.sp_axis, axis=1, tiled=True)
             x = x[:, :c.seq_len]
         else:
+            if sp > 1:
+                # Pad to an sp-divisible token count; padded keys are
+                # masked inside the sequence-parallel attention, so the
+                # real rows match the unsharded encode exactly.
+                s_pad = -(-c.seq_len // sp) * sp
+                x = jnp.pad(x, ((0, 0), (0, s_pad - c.seq_len), (0, 0)))
+                x = jax.lax.dynamic_slice_in_dim(
+                    x, jax.lax.axis_index(self.sp_axis) * (s_pad // sp),
+                    s_pad // sp, 1)
             blocks = nn.scan(
                 _ScannedBlock,
                 variable_axes={"params": 0},
                 split_rngs={"params": True},
                 length=c.num_layers,
-            )(c, self.impl, name="blocks")
+            )(c, self.impl, sp_axis=self.sp_axis if sp > 1 else None,
+              kv_true_len=c.seq_len, name="blocks")
             x, _ = blocks(x, None)
+            if sp > 1:
+                x = jax.lax.all_gather(x, self.sp_axis, axis=1, tiled=True)
+                x = x[:, :c.seq_len]
 
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32,
                          name="norm")(x)

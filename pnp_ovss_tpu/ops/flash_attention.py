@@ -294,6 +294,81 @@ def flash_mha_from_qkv(qkv3: jax.Array, *, num_heads: int, out_dtype=None,
     )
 
 
+def xlen_supported(sq: int, skv: int, h: int, d: int) -> bool:
+    """Shapes the cross-length entry point can run (sequence-parallel
+    q chunks: sq is the LOCAL chunk, skv the full gathered length)."""
+    return (
+        d in (64, 128)
+        and skv >= 128
+        and sq >= 16
+        and h % HEADS_PER_PROGRAM == 0
+        and (HEADS_PER_PROGRAM * d) % 128 == 0
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "out_dtype", "true_kv_len"))
+def flash_mha_flat_xlen(q2: jax.Array, k2: jax.Array, v2: jax.Array, *,
+                        num_heads: int, out_dtype=None,
+                        true_kv_len: "int | None" = None):
+    """Cross-length flat attention: q [B, Sq, H*D], k/v [B, Skv, H*D].
+
+    The sequence-parallel entry point (SURVEY §5: the reference has no
+    long-context strategy at all): each device holds a contiguous Sq-sized
+    chunk of the query rows while attending over the full gathered K/V.
+    Same ``_flat_kernel`` body and k-block schedule as ``flash_mha_flat``
+    — a q row's online-softmax visits the same 512-wide k blocks in the
+    same order, so per-row outputs are bit-identical to the equal-length
+    entry points. ``true_kv_len`` masks gathered keys beyond the real
+    sequence (padded rows travel with the last chunk). bb grouping is
+    disabled (chunks are small; one program per (batch, head-group,
+    q-block) already amortises).
+    """
+    out_dtype = out_dtype or q2.dtype
+    b, sq, hd = q2.shape
+    skv = k2.shape[1]
+    h = num_heads
+    d = hd // h
+    scale = 1.0 / (d**0.5)
+    hb = HEADS_PER_PROGRAM
+
+    skv_pad = -(-skv // _FLAT_BLOCK_K) * _FLAT_BLOCK_K
+    # q rows: bf16 tiles need sublane multiples of 16; one block when the
+    # chunk fits, else tile at the standard q-block size.
+    sq_pad = -(-sq // 16) * 16
+    bq = min(_FLAT_BLOCK_Q, sq_pad)
+    sq_pad = -(-sq_pad // bq) * bq
+    qf = jnp.pad(q2, [(0, 0), (0, sq_pad - sq), (0, 0)])
+    kf = jnp.pad(k2, [(0, 0), (0, skv_pad - skv), (0, 0)])
+    vf = jnp.pad(v2, [(0, 0), (0, skv_pad - skv), (0, 0)])
+    true_len = jnp.full(
+        (1,), true_kv_len if true_kv_len is not None else skv, jnp.int32
+    )
+
+    grid = (b, h // hb, sq_pad // bq)
+    kernel = functools.partial(_flat_kernel, hb=hb, d=d, scale=scale, bb=1)
+    qspec = pl.BlockSpec(
+        (1, bq, hb * d), lambda bi, hg, qb, *_: (bi, qb, hg),
+        memory_space=pltpu.VMEM,
+    )
+    kvspec = pl.BlockSpec(
+        (1, skv_pad, hb * d), lambda bi, hg, qb, *_: (bi, 0, hg),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[qspec, kvspec, kvspec],
+            out_specs=qspec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, sq_pad, hd), out_dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(true_len, qf, kf, vf)
+    return out[:, :sq, :]
+
+
 def _flash_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, kv_len_padded: int,
                   scale: float):
     """One (batch*head, q-block) program: online-softmax over k blocks.
