@@ -155,7 +155,13 @@ def _materialize_kernel(f_j_ref, n_j_ref, f_i_ref, n_i_ref, o_ref):
         - n_i_ref[:].astype(jnp.float32).T
     )
     if o_ref.dtype == jnp.uint8:
-        o_ref[:] = jnp.round(k * KT_QUANT_SCALE).astype(jnp.uint8)
+        # Mosaic has no direct f32->uint8 cast (only fptosi to SIGNED and
+        # 32->8-bit trunci); round -> int32 -> uint8 lowers as
+        # fptosi + trunci, bit-identical for values in [0, 255].
+        o_ref[:] = (
+            jnp.round(k * KT_QUANT_SCALE)
+            .astype(jnp.int32).astype(jnp.uint8)
+        )
     else:
         o_ref[:] = k.astype(o_ref.dtype)
 
@@ -248,7 +254,12 @@ def _crf_iter_kernel(qsub_ref, kt_ref, u_ref, msp_ref, nb_ref, o_ref, *,
     """
     kt = kt_ref[:]
     mm_dtype = qsub_ref.dtype
-    if kt.dtype != mm_dtype:  # uint8 storage: convert tile in VMEM
+    if kt.dtype == jnp.uint8:
+        # uint8 storage: dequant tile in VMEM. Mosaic cannot cast
+        # unsigned->float directly; uint8 -> int32 (extui) -> f32
+        # (sitofp) -> mm_dtype all lower natively.
+        kt = kt.astype(jnp.int32).astype(jnp.float32).astype(mm_dtype)
+    elif kt.dtype != mm_dtype:
         kt = kt.astype(mm_dtype)
     y = jnp.dot(qsub_ref[:], kt, preferred_element_type=jnp.float32)
     # nb carries bi_w * norm_bi (and the 1/KT_QUANT_SCALE fold when the
