@@ -178,7 +178,11 @@ def mean_field_crf_variants(
     (round(k * 255); the dequant scale rides the normaliser fold),
     halving the bandwidth-bound per-iteration kernel read. Only applies
     to the materialised strided path; None reads the PNP_CRF_KT_Q env
-    override and defaults to False.
+    override and defaults to True (round-4 TPU A/B: the combined
+    bandwidth knobs took the full pipeline 55.0 -> 60.4 img/s and the
+    5-seed synthetic gate with them on is statistically identical to
+    off — mean +1.32 vs +1.37 pts over the host anchor; PNP_CRF_KT_Q=0
+    restores the unquantised kernel).
     """
     v, c, h, w = logits.shape
     n = h * w
@@ -282,7 +286,7 @@ def mean_field_crf_variants(
         if kt_quantize is None:
             env = os.environ.get("PNP_CRF_KT_Q")  # A/B debug override
             kt_quantize = (env not in ("0", "false", "")) if env is not None \
-                else False
+                else True
         kt_inv_scale = (
             1.0 / bilateral_pallas.KT_QUANT_SCALE if kt_quantize else 1.0
         )
@@ -479,14 +483,15 @@ def mean_field_crf_variants(
         # per-variant softmax all happen in VMEM (crf_fused_iteration).
         r_rows = -(-(v * c) // 16) * 16
         pad_r = r_rows - v * c
-        # bf16 state (PNP_CRF_STATE=bf16): the carried Q, the constant
-        # -U and the spatial message stream at half width; energies and
-        # the softmax still run f32 in VMEM. Q holds probabilities in
-        # [0, 1] and U is O(10) log-space, so the rounding noise is the
-        # same order as the uint8 kernel quantisation — gate-checked.
+        # bf16 state (default; PNP_CRF_STATE=f32 opts out): the carried
+        # Q, the constant -U and the spatial message stream at half
+        # width; energies and the softmax still run f32 in VMEM. Q holds
+        # probabilities in [0, 1] and U is O(10) log-space, so the
+        # rounding noise is the same order as the uint8 kernel
+        # quantisation — gate-checked (round-4 5-seed TPU gate).
         state_dtype = (
             jnp.bfloat16
-            if os.environ.get("PNP_CRF_STATE", "f32").lower()
+            if os.environ.get("PNP_CRF_STATE", "bf16").lower()
             in ("bf16", "bfloat16")
             else jnp.float32
         )
@@ -497,7 +502,7 @@ def mean_field_crf_variants(
         nb = jnp.broadcast_to(cfg.bi_w * kt_inv_scale * norm_bi, (8, n))
         norm_j = take_j_pad(norm_bi)  # [1, M_pad]
 
-        if os.environ.get("PNP_CRF_FOLD", "0") not in ("0", "false", ""):
+        if os.environ.get("PNP_CRF_FOLD", "1") not in ("0", "false", ""):
             # Exact rank-1 normaliser fold: the separable kernel's degree
             # is the outer product (kh@1)(kw@1)^T, so
             #   n ⊙ K(n ⊙ q) == (Dh kh Dh) Q (Dw kw Dw),

@@ -539,9 +539,11 @@ def test_fused_spatial_fold_matches_unfolded():
             bilateral_impl="pallas", bilateral_subsample=4,
             xy_scale=jnp.asarray([0.4, 0.5]), fused_iteration=True))
 
-    base = run()
-    os.environ["PNP_CRF_FOLD"] = "1"
+    # The fold defaults ON since round 4 — pin BOTH states explicitly.
+    os.environ["PNP_CRF_FOLD"] = "0"
     try:
+        base = run()
+        os.environ["PNP_CRF_FOLD"] = "1"
         folded = run()
     finally:
         del os.environ["PNP_CRF_FOLD"]
@@ -569,9 +571,11 @@ def test_fused_bf16_state_close_to_f32():
             bilateral_impl="pallas", bilateral_subsample=4,
             fused_iteration=True))
 
-    base = run()
-    os.environ["PNP_CRF_STATE"] = "bf16"
+    # bf16 state defaults ON since round 4 — pin BOTH states explicitly.
+    os.environ["PNP_CRF_STATE"] = "f32"
     try:
+        base = run()
+        os.environ["PNP_CRF_STATE"] = "bf16"
         lowp = run()
     finally:
         del os.environ["PNP_CRF_STATE"]
@@ -603,10 +607,13 @@ def test_fused_all_bandwidth_knobs_combined():
             xy_scale=jnp.asarray([0.4, 0.5]), fused_iteration=True,
             kt_quantize=quant))
 
-    base = run(False)
-    os.environ["PNP_CRF_FOLD"] = "1"
-    os.environ["PNP_CRF_STATE"] = "bf16"
+    # All three knobs default ON since round 4 — pin BOTH states.
+    os.environ["PNP_CRF_FOLD"] = "0"
+    os.environ["PNP_CRF_STATE"] = "f32"
     try:
+        base = run(False)
+        os.environ["PNP_CRF_FOLD"] = "1"
+        os.environ["PNP_CRF_STATE"] = "bf16"
         combo = run(True)
     finally:
         del os.environ["PNP_CRF_FOLD"]
