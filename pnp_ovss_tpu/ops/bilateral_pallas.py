@@ -188,26 +188,33 @@ def gaussian_kernel_materialize(
     """
     m = features_j.shape[0]
     n = features.shape[0]
-    m_pad = -(-m // BLOCK_J) * BLOCK_J
+    # Row padding only needs the consumer's 128-alignment (the fused
+    # iteration matmuls [R, M_pad] @ [M_pad, N] directly); padding rows
+    # to the full 512 tile inflated the dominant per-iteration kernel
+    # read by the pad fraction (+11% at bucket 192/s4: M=2304 -> 2560).
+    # The row grid tile is the largest block dividing the aligned M —
+    # the build runs once per image, so a finer row grid costs nothing.
+    m_pad = -(-m // 128) * 128
+    block_j = next(bj for bj in (512, 384, 256, 128) if m_pad % bj == 0)
     n_pad = -(-n // BLOCK_I) * BLOCK_I
     feats_j, norms_j = _pad_feats(features_j, m_pad)
     feats_i, norms_i = _pad_feats(features, n_pad)
 
-    grid = (m_pad // BLOCK_J, n_pad // BLOCK_I)
+    grid = (m_pad // block_j, n_pad // BLOCK_I)
     out = pl.pallas_call(
         _materialize_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((BLOCK_J, FEAT_PAD), lambda j, i: (j, 0),
+            pl.BlockSpec((block_j, FEAT_PAD), lambda j, i: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK_J, 1), lambda j, i: (j, 0),
+            pl.BlockSpec((block_j, 1), lambda j, i: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK_I, FEAT_PAD), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK_I, 1), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BLOCK_J, BLOCK_I), lambda j, i: (j, i),
+        out_specs=pl.BlockSpec((block_j, BLOCK_I), lambda j, i: (j, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), out_dtype),
         cost_estimate=pl.CostEstimate(

@@ -410,7 +410,10 @@ def test_kernel_materialize_padded_rows_are_zero():
         jnp.asarray(fj), jnp.asarray(fi), out_dtype=jnp.float32,
         keep_padded_rows=True,
     ))
-    assert got.shape == (512, 256)
+    # Rows pad to 128-alignment only (the fused-iteration consumer's
+    # requirement) — padding to the 512 build tile inflated the dominant
+    # per-iteration kernel read by the pad fraction.
+    assert got.shape == (128, 256)
     assert np.all(got[37:] == 0.0)
 
 
@@ -436,7 +439,7 @@ def test_kernel_materialize_uint8_quantization():
     f32 = np.asarray(gaussian_kernel_materialize(
         jnp.asarray(fj), jnp.asarray(fi), out_dtype=jnp.float32,
     ))
-    assert got.dtype == np.uint8 and got.shape[0] == 512
+    assert got.dtype == np.uint8 and got.shape[0] == 128
     want = np.round(f32 * KT_QUANT_SCALE)
     np.testing.assert_array_equal(got[:37].astype(np.float64), want)
     assert np.all(got[37:] == 0)
