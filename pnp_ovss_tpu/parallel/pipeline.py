@@ -106,8 +106,13 @@ def encode_images_pp(
     (pp-1)/(2*pp-1)); raise it to amortise the bubble when the per-device
     batch allows.
     """
-    pp = dict(zip(mesh.axis_names, mesh.devices.shape))[pp_axis]
-    dp = dict(zip(mesh.axis_names, mesh.devices.shape))[data_axis]
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    if pp_axis not in sizes or data_axis not in sizes:
+        raise ValueError(
+            f"encode_images_pp needs a mesh with ({data_axis!r}, "
+            f"{pp_axis!r}) axes (make_mesh_2d); got {mesh.axis_names}")
+    pp = sizes[pp_axis]
+    dp = sizes[data_axis]
     if cfg.num_layers % pp:
         raise ValueError(
             f"num_layers={cfg.num_layers} not divisible by pp={pp}")
