@@ -27,6 +27,7 @@ TPU-native differences from the reference (deliberate):
 
 from __future__ import annotations
 
+import os
 
 import flax.linen as nn
 import jax
@@ -36,6 +37,62 @@ from pnp_ovss_tpu.config import ViTConfig
 from pnp_ovss_tpu.ops import attention as attn_ops
 from pnp_ovss_tpu.ops import flash_attention as _flash
 from pnp_ovss_tpu.ops import vit_block_pallas as _vbp
+
+
+def make_patch_conv(cfg: ViTConfig) -> nn.Conv:
+    """The patch-embedding conv, identically configured everywhere.
+
+    Single source of truth for VisionTransformer and the pipeline-parallel
+    encode (parallel/pipeline.py), so the stem cannot silently diverge
+    between the sharded and unsharded paths.
+    """
+    return nn.Conv(
+        cfg.hidden_size,
+        kernel_size=(cfg.patch_size, cfg.patch_size),
+        strides=(cfg.patch_size, cfg.patch_size),
+        padding="VALID",
+        dtype=jnp.dtype(cfg.dtype),
+        name="patch_embed",
+    )
+
+
+def stem_from_patches(
+    cfg: ViTConfig, patches: jax.Array, cls_token: jax.Array,
+    pos_embed: jax.Array,
+) -> jax.Array:
+    """Patch-conv output -> token sequence: reshape + CLS + pos embed.
+
+    Mirrors the reference stem (vit.py:220-231, :274-296); shared by
+    VisionTransformer.__call__ and encode_images_pp's replicated stem.
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    b = patches.shape[0]
+    x = patches.reshape(b, cfg.num_patches, cfg.hidden_size)
+    x = jnp.concatenate(
+        [jnp.broadcast_to(cls_token.astype(dtype), (b, 1, cfg.hidden_size)),
+         x],
+        axis=1,
+    )
+    return x + pos_embed.astype(dtype)
+
+
+def fused_path_supported(cfg: ViTConfig, impl: str) -> bool:
+    """True iff the fused-kernel encode (LN+matmul Pallas blocks + flat
+    flash attention) handles this config. Single predicate shared by the
+    unsharded, sequence-parallel and pipeline-parallel encodes."""
+    return (
+        impl == "pallas"
+        and os.environ.get("PNP_VIT_FUSED", "1") not in ("0", "false")
+        and _flash.flat_supported(cfg.seq_len, cfg.num_heads, cfg.head_dim)
+        and _vbp.supported(cfg.hidden_size, 3 * cfg.hidden_size,
+                           mlp_hidden=int(cfg.hidden_size * cfg.mlp_ratio))
+    )
+
+
+def fused_seq_pad(seq_len: int) -> int:
+    """Whole-encode padded sequence length on the fused path (one pad to
+    the flash kernel's k-block multiple instead of per-layer pad/slice)."""
+    return -(-seq_len // _flash._FLAT_BLOCK_K) * _flash._FLAT_BLOCK_K
 
 
 class ViTSelfAttention(nn.Module):
@@ -308,18 +365,8 @@ class VisionTransformer(nn.Module):
         """images: [B, H, W, 3] float (already CLIP-normalised, NHWC)."""
         c = self.cfg
         dtype = jnp.dtype(c.dtype)
-        b = images.shape[0]
 
-        x = nn.Conv(
-            c.hidden_size,
-            kernel_size=(c.patch_size, c.patch_size),
-            strides=(c.patch_size, c.patch_size),
-            padding="VALID",
-            dtype=dtype,
-            name="patch_embed",
-        )(images.astype(dtype))
-        x = x.reshape(b, c.num_patches, c.hidden_size)
-
+        patches = make_patch_conv(c)(images.astype(dtype))
         cls_token = self.param(
             "cls_token", nn.initializers.truncated_normal(0.02),
             (1, 1, c.hidden_size), jnp.float32,
@@ -328,21 +375,9 @@ class VisionTransformer(nn.Module):
             "pos_embed", nn.initializers.truncated_normal(0.02),
             (1, c.seq_len, c.hidden_size), jnp.float32,
         )
-        x = jnp.concatenate(
-            [jnp.broadcast_to(cls_token.astype(dtype), (b, 1, c.hidden_size)), x],
-            axis=1,
-        )
-        x = x + pos_embed.astype(dtype)
+        x = stem_from_patches(c, patches, cls_token, pos_embed)
 
-        import os
-
-        use_fused = (
-            self.impl == "pallas"
-            and os.environ.get("PNP_VIT_FUSED", "1") not in ("0", "false")
-            and _flash.flat_supported(c.seq_len, c.num_heads, c.head_dim)
-            and _vbp.supported(c.hidden_size, 3 * c.hidden_size,
-                               mlp_hidden=int(c.hidden_size * c.mlp_ratio))
-        )
+        use_fused = fused_path_supported(c, self.impl)
         sp = 1
         if self.sp_axis is not None:
             sp = jax.lax.axis_size(self.sp_axis)  # static under shard_map
@@ -353,8 +388,7 @@ class VisionTransformer(nn.Module):
             # attention; the fused block kernels then tile rows with no
             # per-call padding either. Padded rows hold finite garbage
             # no real row reads (keys >= true_len are masked).
-            s_pad = -(-c.seq_len // _flash._FLAT_BLOCK_K) \
-                * _flash._FLAT_BLOCK_K
+            s_pad = fused_seq_pad(c.seq_len)
             if sp > 1 and (s_pad % sp or (s_pad // sp) % 16):
                 raise ValueError(
                     f"sequence-parallel chunking needs s_pad={s_pad} "

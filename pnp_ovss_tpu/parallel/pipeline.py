@@ -40,35 +40,26 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from pnp_ovss_tpu.config import ViTConfig
-from pnp_ovss_tpu.models.vit import ViTBlock, ViTBlockFused
-from pnp_ovss_tpu.ops import flash_attention as _flash
-from pnp_ovss_tpu.ops import vit_block_pallas as _vbp
+from pnp_ovss_tpu.models.vit import (
+    ViTBlock, ViTBlockFused, fused_path_supported, fused_seq_pad,
+    make_patch_conv, stem_from_patches,
+)
 from pnp_ovss_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
 def _embed(cfg: ViTConfig, p, images: jax.Array) -> jax.Array:
     """The ViT stem, functionally: patch conv + CLS + pos embeddings.
 
-    Mirrors models/vit.py:313-335 exactly (same module params, same dtype
-    discipline); the full-encode parity tests pin the equivalence.
+    Built from the same helpers VisionTransformer.__call__ uses
+    (models/vit.py make_patch_conv / stem_from_patches), so the sharded
+    and unsharded stems cannot diverge; the full-encode parity tests pin
+    the equivalence.
     """
-    dtype = jnp.dtype(cfg.dtype)
-    b = images.shape[0]
-    x = nn.Conv(
-        cfg.hidden_size,
-        kernel_size=(cfg.patch_size, cfg.patch_size),
-        strides=(cfg.patch_size, cfg.patch_size),
-        padding="VALID",
-        dtype=dtype,
-        name="patch_embed",
-    ).apply({"params": p["patch_embed"]}, images.astype(dtype))
-    x = x.reshape(b, cfg.num_patches, cfg.hidden_size)
-    x = jnp.concatenate(
-        [jnp.broadcast_to(p["cls_token"].astype(dtype),
-                          (b, 1, cfg.hidden_size)), x],
-        axis=1,
+    patches = make_patch_conv(cfg).apply(
+        {"params": p["patch_embed"]},
+        images.astype(jnp.dtype(cfg.dtype)),
     )
-    return x + p["pos_embed"].astype(dtype)
+    return stem_from_patches(cfg, patches, p["cls_token"], p["pos_embed"])
 
 
 def _param_specs(params, pp_axis: str):
@@ -126,16 +117,8 @@ def encode_images_pp(
             f"per-device batch {b_local} not divisible by "
             f"num_microbatches={m}")
 
-    import os
-
     dtype = jnp.dtype(cfg.dtype)
-    use_fused = (
-        impl == "pallas"
-        and os.environ.get("PNP_VIT_FUSED", "1") not in ("0", "false")
-        and _flash.flat_supported(cfg.seq_len, cfg.num_heads, cfg.head_dim)
-        and _vbp.supported(cfg.hidden_size, 3 * cfg.hidden_size,
-                           mlp_hidden=int(cfg.hidden_size * cfg.mlp_ratio))
-    )
+    use_fused = fused_path_supported(cfg, impl)
 
     def run_stage(stack, x):
         """Scan the local layer slab with the unsharded block math."""
@@ -156,8 +139,7 @@ def encode_images_pp(
         x = _embed(cfg, p, im)  # [B_local, S, D], every stage (cheap stem)
         if use_fused:
             # Whole-encode padded layout, mirroring models/vit.py:350-377.
-            s_pad = -(-cfg.seq_len // _flash._FLAT_BLOCK_K) \
-                * _flash._FLAT_BLOCK_K
+            s_pad = fused_seq_pad(cfg.seq_len)
             x = jnp.pad(x, ((0, 0), (0, s_pad - cfg.seq_len), (0, 0)))
         s = x.shape[1]
         mb = b_local // m
@@ -184,10 +166,14 @@ def encode_images_pp(
 
         out = buf.reshape(m * mb, s, cfg.hidden_size)
         # Replicate the last stage's result across the pipeline axis so
-        # the output sharding matches a data-parallel encode. One
-        # activation-sized all_gather; acceptable for an encode that is
-        # consumed replicated (the CLI's maps path), and free when pp=1.
-        out = jax.lax.all_gather(out, pp_axis)[pp - 1]
+        # the output sharding matches a data-parallel encode. Masked psum
+        # = a last-stage broadcast: every non-last stage contributes exact
+        # zeros (buf was only ever written where stage == pp-1), so the
+        # sum is bit-identical to the last stage's buffer while peak
+        # memory stays at 1x activations and ICI moves ~2x the tensor
+        # instead of the pp x of an all_gather-then-index.
+        out = jax.lax.psum(
+            jnp.where(stage == pp - 1, out, jnp.zeros_like(out)), pp_axis)
         out = out[:, :cfg.seq_len]
         out = nn.LayerNorm(
             epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
