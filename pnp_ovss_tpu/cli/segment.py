@@ -52,11 +52,33 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", action="store_true",
                    help="shard the batch over all local devices")
     p.add_argument("--tensor_parallel", type=int, default=1,
-                   help="with --mesh: Megatron-shard the model over an "
-                        "inner `model` mesh axis of this size (must divide "
-                        "the head counts: ViT 16 / BERT 12 -> 1, 2 or 4). "
-                        "Absent from the reference (SURVEY §2.4); useful "
-                        "for the 768px long-sequence path")
+                   help="Megatron-shard the model over an inner `model` "
+                        "mesh axis of this size (must divide the head "
+                        "counts: ViT 16 / BERT 12 -> 1, 2 or 4; implies "
+                        "--mesh). Absent from the reference (SURVEY §2.4); "
+                        "useful for the 768px long-sequence path")
+    p.add_argument("--sequence_parallel", type=int, default=1,
+                   help="shard the ViT encode's TOKEN axis over an inner "
+                        "`model` mesh axis of this size (implies --mesh; "
+                        "K/V all-gathered per layer, parallel/sequence.py)."
+                        " Bit-identical to the unsharded kernel-path "
+                        "encode; for the latency-bound long-sequence "
+                        "regime (768px, per-chip batch ~1) the reference "
+                        "cannot run at all (SURVEY §5). Exclusive with "
+                        "--tensor_parallel/--pipeline_parallel")
+    p.add_argument("--pipeline_parallel", type=int, default=1,
+                   help="GPipe-shard the ViT block stack's LAYER axis "
+                        "over an inner `model` mesh axis of this size "
+                        "(implies --mesh; must divide num_layers=24; "
+                        "microbatches flow via ppermute, "
+                        "parallel/pipeline.py). Bit-identical to the "
+                        "unsharded kernel-path encode. Exclusive with "
+                        "--tensor_parallel/--sequence_parallel")
+    p.add_argument("--pp_microbatches", type=int, default=None,
+                   help="with --pipeline_parallel: microbatches per "
+                        "device batch (default = pipeline depth; raise "
+                        "to amortise the (pp-1)/(M+pp-1) bubble when the "
+                        "per-device batch allows)")
     p.add_argument("--max_txt_len", type=int, default=128,
                    help="static caption bucket (reference pads to 500)")
     # TPU-native knobs.
@@ -272,24 +294,43 @@ def main(argv=None):
             attn_impl=args.attn_impl,
         )
 
+    # Model-axis strategies are mutually exclusive: all three use the same
+    # inner `model` mesh axis (for weights, tokens and layers
+    # respectively); each one implies --mesh.
+    strategies = {
+        "--tensor_parallel": args.tensor_parallel,
+        "--sequence_parallel": args.sequence_parallel,
+        "--pipeline_parallel": args.pipeline_parallel,
+    }
+    active = {k: v for k, v in strategies.items() if v > 1}
+    if len(active) > 1:
+        raise SystemExit(
+            f"choose at most one of {', '.join(active)} (all shard the "
+            f"same `model` mesh axis)")
+    model_axis = max(strategies.values())
     mesh = None
-    if args.mesh:
+    if args.mesh or model_axis > 1:
         from pnp_ovss_tpu.parallel import mesh as mesh_mod
 
-        if args.tensor_parallel > 1:
-            mesh = mesh_mod.make_mesh_2d(args.tensor_parallel)
-            dp = mesh.devices.size // args.tensor_parallel
+        if model_axis > 1:
+            mesh = mesh_mod.make_mesh_2d(model_axis)
+            dp = mesh.devices.size // model_axis
+            kind = next(iter(active)).lstrip("-")
             log(f"mesh over {mesh.devices.size} devices: "
-                f"data={dp} x model={args.tensor_parallel}")
+                f"data={dp} x model={model_axis} ({kind})")
         else:
             mesh = mesh_mod.make_mesh()
             log(f"data-parallel mesh over {mesh.devices.size} devices")
+    encode_parallel = ("sp" if args.sequence_parallel > 1
+                       else "pp" if args.pipeline_parallel > 1 else None)
 
     runner = SegmentationRunner(
         cfg, params, mesh=mesh, attn_impl=args.attn_impl,
         bucket_size=args.bucket_size,
         bilateral_impl="pallas" if jax.default_backend() != "cpu"
         else "reference",
+        encode_parallel=encode_parallel,
+        pp_microbatches=args.pp_microbatches,
     )
 
     if args.in_the_wild:

@@ -123,14 +123,46 @@ def param_partition_specs(params, model_parallel: int):
     )
 
 
-def shard_params(mesh: Mesh, params):
-    """Device-put ``params`` with the Megatron specs over ``mesh``.
+def pipeline_param_specs(params):
+    """PartitionSpecs for pipeline parallelism: the ViT block stack's
+    leading [num_layers] axis shards over ``model`` (each stage owns a
+    contiguous layer slab, parallel/pipeline.py); every other leaf —
+    stem, final norm, the whole BERT/heads side — replicates. Matches
+    encode_images_pp's in_specs so no resharding happens at the
+    shard_map boundary."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    specs = []
+    for path, _ in flat:
+        names = [getattr(k, "key", getattr(k, "name", str(k)))
+                 for k in path]
+        vit_blocks = "visual_encoder" in names and "blocks" in names
+        specs.append(P(MODEL_AXIS) if vit_blocks else P())
+    return jax.tree_util.tree_unflatten(treedef, specs)
 
-    On a 1D (data-only) mesh this replicates, matching the reference's
-    DDP semantics (weights identical on every rank, driver :1218).
+
+def shard_params(mesh: Mesh, params, strategy: str = "megatron"):
+    """Device-put ``params`` with partition specs over ``mesh``.
+
+    strategy:
+      - "megatron": column/row tensor-parallel specs over the ``model``
+        axis (the default; on a 1D data-only mesh this replicates,
+        matching the reference's DDP semantics — weights identical on
+        every rank, driver :1218).
+      - "replicated": P() everywhere — sequence parallelism uses the
+        ``model`` axis for tokens, not weights.
+      - "pipeline": ViT block stack layer-sharded over ``model``
+        (pipeline_param_specs), rest replicated.
     """
-    tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1)
-    specs = param_partition_specs(params, tp)
+    if strategy == "megatron":
+        tp = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+            MODEL_AXIS, 1)
+        specs = param_partition_specs(params, tp)
+    elif strategy == "replicated":
+        specs = jax.tree.map(lambda _: P(), params)
+    elif strategy == "pipeline":
+        specs = pipeline_param_specs(params)
+    else:
+        raise ValueError(f"unknown shard strategy {strategy!r}")
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )

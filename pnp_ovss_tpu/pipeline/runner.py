@@ -113,17 +113,50 @@ class SegmentationRunner:
         attn_impl: str = "pallas",
         bucket_size: int = 192,  # round-3 default (SYNTH_GATE + bench)
         bilateral_impl: str = "pallas",
+        encode_parallel: Optional[str] = None,
+        pp_microbatches: Optional[int] = None,
     ):
+        """encode_parallel: None (default) runs the ViT encode data-
+        parallel (GSPMD over ``mesh``, Megatron TP when the mesh has a
+        ``model`` axis). "sp" shards the encode's TOKEN axis over the
+        mesh's ``model`` axis (parallel/sequence.py: per-layer K/V
+        all-gathers; the long-context strategy the reference lacks,
+        SURVEY §5); "pp" shards the block stack's LAYER axis
+        (parallel/pipeline.py GPipe schedule; ``pp_microbatches``
+        overrides the per-device microbatch count, default = pipeline
+        depth). Both need a 2D (data, model) mesh (make_mesh_2d) and
+        produce bit-identical outputs to the unsharded kernel-path
+        encode (tests/test_sequence_parallel.py,
+        tests/test_pipeline_parallel.py)."""
         self.cfg = cfg
+        if encode_parallel not in (None, "sp", "pp"):
+            raise ValueError(
+                f"encode_parallel must be None, 'sp' or 'pp'; "
+                f"got {encode_parallel!r}")
+        if encode_parallel is not None:
+            sizes = dict(zip(mesh.axis_names, mesh.devices.shape)) \
+                if mesh is not None else {}
+            if mesh_mod.MODEL_AXIS not in sizes:
+                raise ValueError(
+                    f"encode_parallel={encode_parallel!r} needs a 2D "
+                    f"(data, model) mesh (parallel.mesh.make_mesh_2d)")
         # Under a mesh, commit the weights with their partition specs up
         # front: replicated on a 1D data mesh (the reference's DDP layout,
         # driver :1218), Megatron column/row-sharded along the `model` axis
         # of a 2D (data, model) mesh (parallel/mesh.py) — GSPMD propagates
         # the head sharding through the attention from these specs alone.
+        # sp uses the model axis for tokens (weights replicate); pp
+        # layer-shards the ViT block stack over it.
+        strategy = {None: "megatron", "sp": "replicated",
+                    "pp": "pipeline"}[encode_parallel]
         self.params = (
-            params if mesh is None else mesh_mod.shard_params(mesh, params)
+            params if mesh is None
+            else mesh_mod.shard_params(mesh, params, strategy=strategy)
         )
         self.mesh = mesh
+        self.attn_impl = attn_impl
+        self.encode_parallel = encode_parallel
+        self.pp_microbatches = pp_microbatches
         self.bucket = bucket_size
         self.bilateral_impl = bilateral_impl
 
@@ -179,7 +212,25 @@ class SegmentationRunner:
     def _embed_fn(self, params, images):
         from pnp_ovss_tpu.models.blip_itm import BlipITM
 
-        return self.model.apply(params, images, method=BlipITM.encode_image)
+        if self.encode_parallel is None:
+            return self.model.apply(
+                params, images, method=BlipITM.encode_image)
+        # Sequence-/pipeline-parallel encode (the drop loop's hot 4x-
+        # repeated program): shard_map over the 2D mesh; output comes
+        # back batch-sharded exactly like the data-parallel encode, so
+        # the BERT/gradcam/post stages downstream are oblivious.
+        vparams = {"params": params["params"]["visual_encoder"]}
+        vit_cfg = self.cfg.model.vit
+        if self.encode_parallel == "sp":
+            from pnp_ovss_tpu.parallel.sequence import encode_images_sp
+
+            return encode_images_sp(
+                vit_cfg, vparams, images, self.mesh, impl=self.attn_impl)
+        from pnp_ovss_tpu.parallel.pipeline import encode_images_pp
+
+        return encode_images_pp(
+            vit_cfg, vparams, images, self.mesh, impl=self.attn_impl,
+            num_microbatches=self.pp_microbatches)
 
     def _bert_gradcam_fn(self, params, image_embeds, ids, mask):
         cfg = self.cfg

@@ -449,3 +449,41 @@ def test_cli_device_eval_mode_mesh(fake_voc, tmp_path):
     total = np.load(os.path.join(out, "total_hist_agg_bucket32_rank0.npy"))
     summed = sum(np.load(os.path.join(hist_dir, f)) for f in files)
     np.testing.assert_array_equal(total, summed)
+
+
+def test_cli_sequence_parallel(fake_voc, tmp_path):
+    """--sequence_parallel 2 from the public driver surface (VERDICT r4
+    #2): dp=4 x sp=2 over the virtual mesh, token-sharded ViT encode
+    (parallel/sequence.py), full pipeline to per-image hist files."""
+    out = str(tmp_path / "out_sp")
+    _run(fake_voc, out, ["--sequence_parallel", "2", "--batch_size", "8"])
+    hist_dir = os.path.join(out, "all_drop_hist_with_filtered_caption")
+    files = sorted(os.listdir(hist_dir))
+    assert len(files) == 5
+    h = np.load(os.path.join(hist_dir, files[0]))
+    assert h.shape == (21, 21)
+    assert h.sum() == 60 * 80
+
+
+def test_cli_pipeline_parallel(fake_voc, tmp_path):
+    """--pipeline_parallel 2: dp=4 x pp=2, layer-sharded GPipe ViT encode
+    (parallel/pipeline.py; the CLI ViT has 24 layers -> 12 per stage),
+    full pipeline to per-image hist files."""
+    out = str(tmp_path / "out_pp")
+    _run(fake_voc, out, ["--pipeline_parallel", "2", "--batch_size", "8"])
+    hist_dir = os.path.join(out, "all_drop_hist_with_filtered_caption")
+    files = sorted(os.listdir(hist_dir))
+    assert len(files) == 5
+    h = np.load(os.path.join(hist_dir, files[0]))
+    assert h.sum() == 60 * 80
+
+
+def test_cli_rejects_combined_model_axis_strategies(fake_voc, tmp_path):
+    """tp/sp/pp all shard the same `model` mesh axis: combining them must
+    fail loudly, not silently pick one."""
+    out = str(tmp_path / "out_conflict")
+    with pytest.raises(SystemExit, match="model"):
+        _run(fake_voc, out, [
+            "--sequence_parallel", "2", "--pipeline_parallel", "2",
+            "--batch_size", "8",
+        ])

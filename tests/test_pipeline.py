@@ -150,6 +150,55 @@ def test_runner_mesh_parity(setup):
     assert mism_agg <= 0.001, mism_agg
 
 
+def _encode_parallel_parity(setup, kind, model_axis):
+    """Runner wired with encode_parallel == unsharded runner: the sharded
+    encode (sequence- or pipeline-parallel) feeds the identical BERT/
+    gradcam/post stages, so labels must agree like the dp mesh parity."""
+    cfg, params, tok = setup
+    images, cap, rgb = _batch(cfg, tok)
+
+    r_single = SegmentationRunner(
+        cfg, params, attn_impl="xla", bucket_size=32,
+        bilateral_impl="reference",
+    )
+    res_single = r_single.run_batch(images, cap, rgb)
+
+    mesh = mesh_mod.make_mesh_2d(model_axis)
+    r_par = SegmentationRunner(
+        cfg, params, mesh=mesh, attn_impl="xla", bucket_size=32,
+        bilateral_impl="reference", encode_parallel=kind,
+    )
+    res_par = r_par.run_batch(images, cap, rgb)
+    assert (res_single.labels_r0 != res_par.labels_r0).mean() <= 0.001
+    assert (res_single.labels_agg != res_par.labels_agg).mean() <= 0.001
+
+
+def test_runner_sequence_parallel_parity(setup):
+    """dp=2 x sp=4: the runner's token-sharded encode path end to end."""
+    _encode_parallel_parity(setup, "sp", 4)
+
+
+def test_runner_pipeline_parallel_parity(setup):
+    """dp=4 x pp=2 (tiny ViT has 2 layers): the runner's layer-sharded
+    GPipe encode path end to end."""
+    _encode_parallel_parity(setup, "pp", 2)
+
+
+def test_runner_encode_parallel_needs_model_axis(setup):
+    cfg, params, _ = setup
+    with pytest.raises(ValueError, match="2D"):
+        SegmentationRunner(
+            cfg, params, mesh=mesh_mod.make_mesh(), attn_impl="xla",
+            bucket_size=32, bilateral_impl="reference",
+            encode_parallel="sp",
+        )
+    with pytest.raises(ValueError, match="2D"):
+        SegmentationRunner(
+            cfg, params, attn_impl="xla", bucket_size=32,
+            bilateral_impl="reference", encode_parallel="pp",
+        )
+
+
 def test_uint8_images_match_host_normalised(setup):
     """The production path (uint8 transfer + on-device CLIP normalisation)
     must match host-side preprocess_image + float submission exactly (the
