@@ -26,19 +26,43 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 OUT = os.path.join(REPO, "tests", "golden_tpu.npz")
+OUT_768 = os.path.join(REPO, "tests", "golden_tpu_768.npz")
 
 
-def build_inputs():
+def build_inputs(img_size: int = 336, b: int = 4):
     """Deterministic full-scale batch (shared with the test)."""
     import numpy as np
 
     from pnp_ovss_tpu.config import PipelineConfig
+
+    cfg = PipelineConfig()  # full reference config (336px, drop4, blur+crf)
+    if img_size != cfg.img_size:
+        # 768px long-sequence leg (VERDICT r4 #3): 2305-token ViT encode
+        # through the unified xlen/flat flash schedule — a different
+        # Mosaic kernel configuration (block counts, online-softmax k
+        # loop) than the 336px/512-pad one, so it needs its own numerics
+        # tripwire.
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                vit=dataclasses.replace(
+                    cfg.model.vit, image_size=img_size),
+            ),
+        )
+    return _inputs_for(cfg, b)
+
+
+def _inputs_for(cfg, b):
+    import numpy as np
+
     from pnp_ovss_tpu.text.captions import build_caption_batch
     from pnp_ovss_tpu.text.wordpiece import WordPieceTokenizer
 
-    cfg = PipelineConfig()  # full reference config (336px, drop4, blur+crf)
     rng = np.random.RandomState(1234)
-    b, s = 4, cfg.img_size
+    s = cfg.img_size
     # uint8 images: exercises the production on-device normalisation path.
     images = (rng.rand(b, s, s, 3) * 255).astype(np.uint8)
     rgb_bucket = (rng.rand(b, 192, 192, 3) * 255).astype(np.uint8)
@@ -47,14 +71,14 @@ def build_inputs():
     )
     names = [["dog", "cat"], ["grass"], ["sky", "car", "dog"], ["cat"]]
     cap = build_caption_batch(
-        names, tok, max_text_len=cfg.model.max_text_len,
+        names[:b], tok, max_text_len=cfg.model.max_text_len,
         max_classes=cfg.max_classes,
     )
-    gt_sizes = [(375, 500), (500, 375), (333, 500), (480, 360)]
+    gt_sizes = [(375, 500), (500, 375), (333, 500), (480, 360)][:b]
     return cfg, images, cap, rgb_bucket, gt_sizes
 
 
-def run_pipeline():
+def run_pipeline(img_size: int = 336, b: int = 4):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -64,7 +88,7 @@ def run_pipeline():
     from pnp_ovss_tpu.models.blip_itm import init_params
     from pnp_ovss_tpu.pipeline.runner import SegmentationRunner
 
-    cfg, images, cap, rgb_bucket, gt_sizes = build_inputs()
+    cfg, images, cap, rgb_bucket, gt_sizes = build_inputs(img_size, b)
     params = init_params(
         jax.random.PRNGKey(0), cfg.model,
         capture_layers=(cfg.attribution.layer - 1,),
@@ -99,13 +123,24 @@ def main():
         print("capture_golden_tpu: refusing to capture on CPU — the whole "
               "point is TPU (MXU/Mosaic) numerics")
         return 1
-    out = run_pipeline()
-    np.savez_compressed(OUT, backend=backend, **out)
-    print(f"wrote {OUT} (backend={backend})")
-    for k, v in out.items():
-        print(f"  {k}: shape {v.shape}"
-              + (f" sum {v.sum():.6g}" if v.dtype != np.uint8
-                 else f" labelset {sorted(np.unique(v).tolist())[:8]}"))
+    # Both legs, serialized: the 336px shipping config and the 768px
+    # long-sequence kernel configuration (2305 tokens). Pass a leg name
+    # to capture only one: `python scripts/capture_golden_tpu.py 768`.
+    legs = sys.argv[1:] or ["336", "768"]
+    for leg in legs:
+        if leg == "336":
+            out, path = run_pipeline(), OUT
+        elif leg == "768":
+            out, path = run_pipeline(768, b=2), OUT_768
+        else:
+            print(f"unknown leg {leg!r} (336 or 768)")
+            return 1
+        np.savez_compressed(path, backend=backend, **out)
+        print(f"wrote {path} (backend={backend})")
+        for k, v in out.items():
+            print(f"  {k}: shape {v.shape}"
+                  + (f" sum {v.sum():.6g}" if v.dtype != np.uint8
+                     else f" labelset {sorted(np.unique(v).tolist())[:8]}"))
     return 0
 
 

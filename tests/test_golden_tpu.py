@@ -20,6 +20,7 @@ import numpy as np
 import pytest
 
 FIXTURE = os.path.join(os.path.dirname(__file__), "golden_tpu.npz")
+FIXTURE_768 = os.path.join(os.path.dirname(__file__), "golden_tpu_768.npz")
 
 
 @pytest.fixture(scope="module")
@@ -34,21 +35,8 @@ def tpu_backend():
     return jax.default_backend()
 
 
-def test_full_config_golden_on_device(tpu_backend):
-    if not os.path.exists(FIXTURE):
-        pytest.fail(
-            "tests/golden_tpu.npz missing — run "
-            "scripts/capture_golden_tpu.py on the TPU host"
-        )
-    want = np.load(FIXTURE)
-    import sys
-
-    sys.path.insert(0, os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))))
-    from scripts.capture_golden_tpu import run_pipeline
-
-    got = run_pipeline()
-
+def _check_against(fixture, got):
+    want = np.load(fixture)
     # Attribution-side checksums: grid-map sums are pure model+threshold
     # output. rtol covers matmul reassociation across compiler versions;
     # a kernel-numerics regression moves these by orders of magnitude.
@@ -68,3 +56,35 @@ def test_full_config_golden_on_device(tpu_backend):
             f"{key}: {mism:.2%} label mismatch vs committed TPU golden "
             f"(captured on {want['backend']})"
         )
+
+
+def _run_pipeline(**kw):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from scripts.capture_golden_tpu import run_pipeline
+
+    return run_pipeline(**kw)
+
+
+def test_full_config_golden_on_device(tpu_backend):
+    if not os.path.exists(FIXTURE):
+        pytest.fail(
+            "tests/golden_tpu.npz missing — run "
+            "scripts/capture_golden_tpu.py on the TPU host"
+        )
+    _check_against(FIXTURE, _run_pipeline())
+
+
+def test_full_config_golden_768_on_device(tpu_backend):
+    """The 768px long-sequence leg (VERDICT r4 #3): 2305-token encode
+    through the xlen-unified flash schedule — a separate Mosaic kernel
+    configuration from the 336px path, with its own committed fixture so
+    a long-seq-only regression cannot reach a bench capture undetected."""
+    if not os.path.exists(FIXTURE_768):
+        pytest.fail(
+            "tests/golden_tpu_768.npz missing — run "
+            "scripts/capture_golden_tpu.py 768 on the TPU host"
+        )
+    _check_against(FIXTURE_768, _run_pipeline(img_size=768, b=2))
