@@ -89,10 +89,19 @@ def fused_path_supported(cfg: ViTConfig, impl: str) -> bool:
     )
 
 
-def fused_seq_pad(seq_len: int) -> int:
+def fused_seq_pad(seq_len: int, sp: int = 1) -> int:
     """Whole-encode padded sequence length on the fused path (one pad to
-    the flash kernel's k-block multiple instead of per-layer pad/slice)."""
-    return -(-seq_len // _flash._FLAT_BLOCK_K) * _flash._FLAT_BLOCK_K
+    the flash kernel's canonical tight k-schedule — 443 -> 448, 2305 ->
+    2320 — instead of per-layer pad/slice). With ``sp`` > 1 the carried
+    pad is rounded up to a multiple of 16*sp so the token axis chunks
+    into 16-sublane-aligned per-device slices; the attention kernels
+    re-canonicalise K/V on the TRUE length internally, so a larger
+    carried pad never changes the numerics."""
+    block, nb = _flash.seq_blocks(seq_len)
+    s_pad = block * nb
+    if sp > 1:
+        s_pad = -(-s_pad // (16 * sp)) * (16 * sp)
+    return s_pad
 
 
 class ViTSelfAttention(nn.Module):
@@ -290,6 +299,21 @@ class ViTBlockFused(nn.Module):
                 num_heads=c.num_heads, out_dtype=dtype,
                 true_kv_len=self.true_len,
             )
+        elif _flash.proj_fold_enabled():
+            # Attention + proj + residual in ONE kernel: the attention
+            # output never touches HBM and there is no XLA matmul between
+            # the Pallas calls (the whole block is 3 kernels).
+            x = _flash.flash_mha_qkv_proj(
+                qkv, x, proj_k.astype(dtype), proj_b.astype(dtype),
+                num_heads=c.num_heads, out_dtype=dtype,
+                true_len=self.true_len,
+            )
+            return _vbp.ln_mlp_residual(
+                x.reshape(m, d), g2, b2,
+                w1.astype(dtype), fb1.astype(dtype),
+                w2.astype(dtype), fb2.astype(dtype),
+                eps=c.layer_norm_eps, out_dtype=dtype,
+            ).reshape(b, s, d)
         else:
             # q/k/v are BlockSpec views into the qkv output — XLA would
             # materialise each strided channel slice as a full copy before
@@ -388,11 +412,7 @@ class VisionTransformer(nn.Module):
             # attention; the fused block kernels then tile rows with no
             # per-call padding either. Padded rows hold finite garbage
             # no real row reads (keys >= true_len are masked).
-            s_pad = fused_seq_pad(c.seq_len)
-            if sp > 1 and (s_pad % sp or (s_pad // sp) % 16):
-                raise ValueError(
-                    f"sequence-parallel chunking needs s_pad={s_pad} "
-                    f"divisible by sp={sp} with 16-row chunks")
+            s_pad = fused_seq_pad(c.seq_len, sp)
             x = jnp.pad(x, ((0, 0), (0, s_pad - c.seq_len), (0, 0)))
             if sp > 1:
                 x = jax.lax.dynamic_slice_in_dim(

@@ -64,6 +64,35 @@ _FLAT_BLOCK_Q = 512
 _FLAT_BLOCK_K = 512
 
 
+def seq_blocks(true_len: int) -> "tuple[int, int]":
+    """Canonical (block_k, num_blocks) k-schedule for a sequence.
+
+    Tight padding: the padded length block_k * num_blocks is the smallest
+    16-sublane multiple that splits into equal k blocks <= 512. The ViT's
+    443 real tokens pad to 448 (one block) instead of 512, and 768px's
+    2305 tokens to 2320 (5 x 464) instead of 2560 — at 336px that is
+    12.5% of every dense-matmul row and ~23% of the attention score
+    work (the MXU pads score lanes to 128 in-register either way, but
+    rows are real passes and the exp/sum VPU work scales with area).
+
+    The schedule is keyed on the TRUE length, never on however the
+    caller padded its arrays: every entry point slices/pads to the
+    canonical length internally, so the unsharded, sequence-parallel and
+    pipeline-parallel encodes all visit identical k blocks and stay
+    bit-identical regardless of their carried padding.
+
+    ``PNP_FLASH_TIGHT=0`` restores the legacy 512-multiple padding for
+    end-to-end A/B runs.
+    """
+    if os.environ.get("PNP_FLASH_TIGHT", "1") in ("0", "false"):
+        nb = max(1, -(-true_len // _FLAT_BLOCK_K))
+        return _FLAT_BLOCK_K, nb
+    s16 = -(-true_len // 16) * 16
+    nb = max(1, -(-s16 // _FLAT_BLOCK_K))
+    block = -(-true_len // (16 * nb)) * 16
+    return block, nb
+
+
 def _pick_batch_group(b: int, s_pad: int) -> int:
     """Batch-group size: fold several batch elements into one program when
     the k loop is a single whole-sequence block (short-sequence regime
@@ -84,7 +113,7 @@ def _pick_batch_group(b: int, s_pad: int) -> int:
 
 
 def _flat_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, hb: int, d: int,
-                 scale: float, bb: int = 1):
+                 scale: float, bb: int = 1, block_k: int = _FLAT_BLOCK_K):
     """One (batch-group, head-group, q-block) program: attention for
     bb batches x hb heads over the q block, online-softmax over k blocks.
 
@@ -102,7 +131,7 @@ def _flat_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, hb: int, d: int,
     true_len = len_ref[0]
     bq = q_ref.shape[1]
     s_pad = k_ref.shape[1]
-    num_kb = s_pad // _FLAT_BLOCK_K
+    num_kb = s_pad // block_k
     neg = jnp.float32(_NEG_INF)
     for bi in range(bb):  # static unroll over the batch group
         for i in range(hb):  # static unroll: head slices are lane-aligned
@@ -110,13 +139,13 @@ def _flat_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, hb: int, d: int,
 
             def kb_body(kb, carry):
                 acc, m_prev, l_prev = carry
-                k = k_ref[bi, pl.ds(kb * _FLAT_BLOCK_K, _FLAT_BLOCK_K),
+                k = k_ref[bi, pl.ds(kb * block_k, block_k),
                           i * d:(i + 1) * d].astype(jnp.float32)
-                v = v_ref[bi, pl.ds(kb * _FLAT_BLOCK_K, _FLAT_BLOCK_K),
+                v = v_ref[bi, pl.ds(kb * block_k, block_k),
                           i * d:(i + 1) * d].astype(jnp.float32)
                 s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-                col = kb * _FLAT_BLOCK_K + jax.lax.broadcasted_iota(
-                    jnp.int32, (bq, _FLAT_BLOCK_K), dimension=1
+                col = kb * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, block_k), dimension=1
                 )
                 s = jnp.where(col < true_len, s, neg)
                 m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -138,6 +167,22 @@ def _flat_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, *, hb: int, d: int,
                 acc, _, l = jax.lax.fori_loop(
                     0, num_kb, kb_body, (acc0, m0, l0))
             o_ref[bi, :, i * d:(i + 1) * d] = (acc / l).astype(o_ref.dtype)
+
+
+def _fit_rows(x: jax.Array, target: int) -> jax.Array:
+    """Pad or slice the token axis (axis 1) to ``target`` rows.
+
+    Entry points canonicalise however-the-caller-padded arrays to the
+    ``seq_blocks`` schedule: sliced-away rows are beyond the canonical
+    pad (garbage no real row reads), added rows are zeros that the key
+    mask hides. Output rows sliced off are re-padded with zeros — also
+    garbage rows by contract."""
+    s = x.shape[1]
+    if s < target:
+        return jnp.pad(x, [(0, 0), (0, target - s), (0, 0)])
+    if s > target:
+        return x[:, :target]
+    return x
 
 
 def flat_supported(s: int, h: int, d: int) -> bool:
@@ -172,21 +217,22 @@ def flash_mha_flat(q2: jax.Array, k2: jax.Array, v2: jax.Array, *,
     scale = 1.0 / (d**0.5)
     hb = HEADS_PER_PROGRAM
 
-    # Pad to the k-block granularity so the online-softmax loop tiles
-    # evenly; at 336px (443 -> 512) that is one whole-sequence block.
-    s_pad = -(-s // _FLAT_BLOCK_K) * _FLAT_BLOCK_K
-    bq = min(_FLAT_BLOCK_Q, s_pad)
-    pad = [(0, 0), (0, s_pad - s), (0, 0)]
-    qf = jnp.pad(q2, pad)
-    kf = jnp.pad(k2, pad)
-    vf = jnp.pad(v2, pad)
-    true_len = jnp.full((1,), true_len if true_len is not None else s,
-                        jnp.int32)
+    # Canonical tight k-schedule keyed on the TRUE length (seq_blocks):
+    # at 336px (443 real tokens) that is one 448-wide block.
+    tl = true_len if true_len is not None else s
+    block_k, nb = seq_blocks(tl)
+    s_pad = block_k * nb
+    bq = min(_FLAT_BLOCK_Q, block_k)
+    qf = _fit_rows(q2, s_pad)
+    kf = _fit_rows(k2, s_pad)
+    vf = _fit_rows(v2, s_pad)
+    true_len = jnp.full((1,), tl, jnp.int32)
 
     bb = _pick_batch_group(b, s_pad)
 
     grid = (b // bb, h // hb, s_pad // bq)
-    kernel = functools.partial(_flat_kernel, hb=hb, d=d, scale=scale, bb=bb)
+    kernel = functools.partial(_flat_kernel, hb=hb, d=d, scale=scale, bb=bb,
+                               block_k=block_k)
     qspec = pl.BlockSpec(
         (bb, bq, hb * d), lambda bi, hg, qb, *_: (bi, qb, hg),
         memory_space=pltpu.VMEM,
@@ -206,7 +252,7 @@ def flash_mha_flat(q2: jax.Array, k2: jax.Array, v2: jax.Array, *,
         out_shape=jax.ShapeDtypeStruct((b, s_pad, hd), out_dtype),
         interpret=jax.default_backend() == "cpu",
     )(true_len, qf, kf, vf)
-    return out[:, :s, :]
+    return _fit_rows(out, s)
 
 
 @functools.partial(jax.jit,
@@ -231,17 +277,19 @@ def flash_mha_flat_qkv(qkv3: jax.Array, *, num_heads: int, out_dtype=None,
     scale = 1.0 / (d**0.5)
     hb = HEADS_PER_PROGRAM
 
-    s_pad = -(-s // _FLAT_BLOCK_K) * _FLAT_BLOCK_K
-    bq = min(_FLAT_BLOCK_Q, s_pad)
-    qkvf = jnp.pad(qkv3, [(0, 0), (0, s_pad - s), (0, 0)])
-    true_len = jnp.full((1,), true_len if true_len is not None else s,
-                        jnp.int32)
+    tl = true_len if true_len is not None else s
+    block_k, nb = seq_blocks(tl)
+    s_pad = block_k * nb
+    bq = min(_FLAT_BLOCK_Q, block_k)
+    qkvf = _fit_rows(qkv3, s_pad)
+    true_len = jnp.full((1,), tl, jnp.int32)
 
     bb = _pick_batch_group(b, s_pad)
 
     nhg = h // hb  # head groups; q/k/v sit nhg block-columns apart
     grid = (b // bb, nhg, s_pad // bq)
-    kernel = functools.partial(_flat_kernel, hb=hb, d=d, scale=scale, bb=bb)
+    kernel = functools.partial(_flat_kernel, hb=hb, d=d, scale=scale, bb=bb,
+                               block_k=block_k)
     qspec = pl.BlockSpec(
         (bb, bq, hb * d), lambda bi, hg, qb, *_: (bi, qb, hg),
         memory_space=pltpu.VMEM,
@@ -269,7 +317,7 @@ def flash_mha_flat_qkv(qkv3: jax.Array, *, num_heads: int, out_dtype=None,
         out_shape=jax.ShapeDtypeStruct((b, s_pad, hd), out_dtype),
         interpret=jax.default_backend() == "cpu",
     )(true_len, qkvf, qkvf, qkvf)
-    return out[:, :s, :]
+    return _fit_rows(out, s)
 
 
 def flash_mha_from_qkv(qkv3: jax.Array, *, num_heads: int, out_dtype=None,
@@ -292,6 +340,197 @@ def flash_mha_from_qkv(qkv3: jax.Array, *, num_heads: int, out_dtype=None,
     return flash_mha_flat_qkv(
         qkv3, num_heads=num_heads, out_dtype=out_dtype, true_len=true_len,
     )
+
+
+# ---------------------------------------------------------------------------
+# Attention + output-projection + residual in one kernel
+# ---------------------------------------------------------------------------
+#
+# The fused ViT block ran as 3 Pallas calls + one XLA matmul:
+#   ln_matmul (LN1+qkv) -> flash -> XLA proj+residual -> ln_mlp_residual.
+# This kernel folds the proj and the residual into the attention program,
+# removing the attention-output HBM round trip ([B, S, HD] written by the
+# flash kernel, re-read by the proj matmul — ~72 MB/layer at B=35) and
+# the XLA dispatch between the Pallas calls. One program computes a
+# whole q-block's attention for a group of heads, collects the head
+# slices in VMEM, runs ONE [bq, hb*D_h] @ [hb*D_h, D] proj dot per head
+# group, and f32-accumulates partial proj products across head groups in
+# a scratch that starts at x + proj_bias (grid: head groups innermost,
+# "arbitrary"). At 336px all 16 heads fit one program (nhg=1: grid
+# collapses to 35 programs/layer and the proj contraction is a single
+# full-depth dot); at 768px K/V VMEM forces nhg=2.
+
+
+def _proj_heads_per_program(h: int, d: int, s_pad: int, bq: int,
+                            dm: int) -> int:
+    """Largest head group whose VMEM working set fits (~14 MB budget —
+    the estimate below already includes Mosaic's input double-buffering).
+    A single group (hb == h) additionally makes the proj contraction one
+    full-depth dot, bit-identical to the unfused XLA proj.
+    PNP_FLASH_PROJ_HB forces a value for A/B runs."""
+    env = os.environ.get("PNP_FLASH_PROJ_HB")
+    if env:
+        return int(env)
+    for hb in (h, 8, 4, 2):
+        if h % hb or (hb * d) % 128:
+            continue
+        hd = hb * d
+        # double-buffered streamed inputs (q/k/v views + x) + pk + out +
+        # f32 acc + bf16 out-slice scratch, bytes
+        est = (2 * (bq * hd + 2 * s_pad * hd + bq * dm) + hd * dm
+               + bq * dm) * 2 + bq * dm * 4 + bq * hd * 2
+        if est <= 14 * 1024 * 1024:
+            return hb
+    return HEADS_PER_PROGRAM
+
+
+def _flat_proj_kernel(len_ref, q_ref, k_ref, v_ref, x_ref, pk_ref, pb_ref,
+                      o_ref, osl_ref, acc_ref, *, hb: int, d: int,
+                      scale: float, block_k: int, nhg: int):
+    """(bi, qb, hg) program: attention for head group hg of q block qb,
+    head slices collected in VMEM, one proj dot per group, partial proj
+    products f32-accumulated across the (innermost, sequential) hg axis.
+
+    acc holds the f32 proj partial sums; the final combine is
+    x + (acc.astype(out_dtype) + proj_bias) in out_dtype arithmetic —
+    the exact value flow (and rounding points) of the unfused
+    `flash -> jnp.dot(out, pk) + pb + x` chain, so at nhg=1 the output
+    is bit-identical to the unfused path.
+    """
+    hg = pl.program_id(2)
+    true_len = len_ref[0]
+    bq = q_ref.shape[1]
+    s_pad = k_ref.shape[1]
+    num_kb = s_pad // block_k
+    neg = jnp.float32(_NEG_INF)
+
+    @pl.when(hg == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for i in range(hb):  # static unroll: head slices are lane-aligned
+        q = q_ref[0, :, i * d:(i + 1) * d].astype(jnp.float32) * scale
+
+        def kb_body(kb, carry):
+            acc, m_prev, l_prev = carry
+            k = k_ref[0, pl.ds(kb * block_k, block_k),
+                      i * d:(i + 1) * d].astype(jnp.float32)
+            v = v_ref[0, pl.ds(kb * block_k, block_k),
+                      i * d:(i + 1) * d].astype(jnp.float32)
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            col = kb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, block_k), dimension=1)
+            s = jnp.where(col < true_len, s, neg)
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jnp.dot(
+                p, v, preferred_element_type=jnp.float32)
+            return acc, m_new, l_new
+
+        acc0 = jnp.zeros((bq, d), jnp.float32)
+        m0 = jnp.full((bq, 1), neg, jnp.float32)
+        l0 = jnp.zeros((bq, 1), jnp.float32)
+        if num_kb == 1:
+            a, _, l = kb_body(0, (acc0, m0, l0))
+        else:
+            a, _, l = jax.lax.fori_loop(0, num_kb, kb_body, (acc0, m0, l0))
+        osl_ref[:, i * d:(i + 1) * d] = (a / l).astype(osl_ref.dtype)
+
+    acc_ref[...] += jnp.dot(osl_ref[...], pk_ref[...],
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(hg == nhg - 1)
+    def _():
+        x_blk = x_ref[0]
+        o_ref[0] = x_blk + (acc_ref[...].astype(o_ref.dtype)
+                            + pb_ref[0, :][None, :].astype(o_ref.dtype))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_heads", "out_dtype", "true_len"))
+def flash_mha_qkv_proj(qkv3: jax.Array, x: jax.Array, proj_k: jax.Array,
+                       proj_b: jax.Array, *, num_heads: int,
+                       out_dtype=None, true_len: "int | None" = None):
+    """x + attention(qkv) @ proj_k + proj_b, one Pallas kernel.
+
+    ``qkv3``: [B, S, 3*H*D] (the qkv Dense's output, [q | k | v] on the
+    channel axis, BlockSpec views — nothing materialised); ``x``:
+    [B, S, Dm] residual stream; ``proj_k``: [H*D, Dm]; ``proj_b``: [Dm].
+    Same canonical tight k-schedule as the other entry points. Returns
+    [B, S, Dm] — the post-attention residual stream, ready for
+    ln_mlp_residual.
+    """
+    out_dtype = out_dtype or x.dtype
+    b, s, hd3 = qkv3.shape
+    hd = hd3 // 3
+    dm = x.shape[-1]
+    h = num_heads
+    d = hd // h
+    scale = 1.0 / (d**0.5)
+
+    tl = true_len if true_len is not None else s
+    block_k, nb = seq_blocks(tl)
+    s_pad = block_k * nb
+    bq = min(_FLAT_BLOCK_Q, block_k)
+    hb = _proj_heads_per_program(h, d, s_pad, bq, dm)
+    nhg = h // hb
+    qkvf = _fit_rows(qkv3, s_pad)
+    xf = _fit_rows(x, s_pad)
+    true_len_arr = jnp.full((1,), tl, jnp.int32)
+
+    nq = h // hb  # q/k/v sit nq block-columns apart in qkv3
+    grid = (b, s_pad // bq, nhg)
+    kernel = functools.partial(_flat_proj_kernel, hb=hb, d=d, scale=scale,
+                               block_k=block_k, nhg=nhg)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bq, hb * d),
+                             lambda bi, qb, hg, *_: (bi, qb, hg),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, s_pad, hb * d),
+                             lambda bi, qb, hg, *_: (bi, 0, nq + hg),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, s_pad, hb * d),
+                             lambda bi, qb, hg, *_: (bi, 0, 2 * nq + hg),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, dm),
+                             lambda bi, qb, hg, *_: (bi, qb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((hb * d, dm),
+                             lambda bi, qb, hg, *_: (hg, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, dm), lambda bi, qb, hg, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bq, dm),
+                                   lambda bi, qb, hg, *_: (bi, qb, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((bq, hb * d), out_dtype),
+                pltpu.VMEM((bq, dm), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, dm), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(true_len_arr, qkvf, qkvf, qkvf, xf, proj_k,
+      proj_b.reshape(1, dm))
+    return _fit_rows(out, s)
+
+
+def proj_fold_enabled() -> bool:
+    """PNP_FLASH_PROJ gates the attention+proj+residual fused kernel
+    (A/B knob; default decided by TPU evidence — see NOTES.md)."""
+    return os.environ.get("PNP_FLASH_PROJ", "0") not in ("0", "false")
 
 
 def xlen_supported(sq: int, skv: int, h: int, d: int) -> bool:
@@ -332,21 +571,26 @@ def flash_mha_flat_xlen(q2: jax.Array, k2: jax.Array, v2: jax.Array, *,
     scale = 1.0 / (d**0.5)
     hb = HEADS_PER_PROGRAM
 
-    skv_pad = -(-skv // _FLAT_BLOCK_K) * _FLAT_BLOCK_K
+    # Canonical k-schedule keyed on the TRUE kv length — identical block
+    # widths/order to the equal-length entry points, so per-row outputs
+    # stay bit-identical to the unsharded encode no matter how the
+    # sharded caller padded its gathered K/V.
+    tkl = true_kv_len if true_kv_len is not None else skv
+    block_k, nbk = seq_blocks(tkl)
+    skv_pad = block_k * nbk
     # q rows: bf16 tiles need sublane multiples of 16; one block when the
     # chunk fits, else tile at the standard q-block size.
     sq_pad = -(-sq // 16) * 16
     bq = min(_FLAT_BLOCK_Q, sq_pad)
     sq_pad = -(-sq_pad // bq) * bq
     qf = jnp.pad(q2, [(0, 0), (0, sq_pad - sq), (0, 0)])
-    kf = jnp.pad(k2, [(0, 0), (0, skv_pad - skv), (0, 0)])
-    vf = jnp.pad(v2, [(0, 0), (0, skv_pad - skv), (0, 0)])
-    true_len = jnp.full(
-        (1,), true_kv_len if true_kv_len is not None else skv, jnp.int32
-    )
+    kf = _fit_rows(k2, skv_pad)
+    vf = _fit_rows(v2, skv_pad)
+    true_len = jnp.full((1,), tkl, jnp.int32)
 
     grid = (b, h // hb, sq_pad // bq)
-    kernel = functools.partial(_flat_kernel, hb=hb, d=d, scale=scale, bb=1)
+    kernel = functools.partial(_flat_kernel, hb=hb, d=d, scale=scale, bb=1,
+                               block_k=block_k)
     qspec = pl.BlockSpec(
         (1, bq, hb * d), lambda bi, hg, qb, *_: (bi, qb, hg),
         memory_space=pltpu.VMEM,

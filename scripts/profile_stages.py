@@ -7,6 +7,7 @@ materialisation (block_until_ready is a no-op on the axon backend).
 
   python scripts/profile_stages.py            # TPU
   BENCH_BUCKET=192 python scripts/profile_stages.py
+  BENCH_IMG_SIZE=768 BENCH_BATCH=8 python scripts/profile_stages.py
 """
 
 from __future__ import annotations
@@ -36,6 +37,17 @@ def main():
     from pnp_ovss_tpu.text.wordpiece import WordPieceTokenizer
 
     cfg = PipelineConfig.reference_default()
+    img_size = int(os.environ.get("BENCH_IMG_SIZE", cfg.img_size))
+    if img_size != cfg.img_size:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                vit=dataclasses.replace(cfg.model.vit, image_size=img_size),
+            ),
+        )
     on_tpu = jax.default_backend() not in ("cpu",)
     batch = int(os.environ.get("BENCH_BATCH", cfg.batch_size if on_tpu else 2))
     impl = "pallas" if on_tpu else "xla"

@@ -258,3 +258,83 @@ def test_flash_from_qkv_dispatch(monkeypatch):
     monkeypatch.setenv("PNP_FLASH_QKV", "0")
     got_sliced = np.asarray(flash_mha_from_qkv(qkv, num_heads=h))
     np.testing.assert_allclose(got_view, got_sliced, rtol=2e-5, atol=2e-5)
+
+
+def test_seq_blocks_tight_schedule():
+    """seq_blocks: smallest 16-multiple padding splitting into equal
+    k-blocks <= 512, keyed on the TRUE length; PNP_FLASH_TIGHT=0 restores
+    the legacy 512-multiples."""
+    from pnp_ovss_tpu.ops.flash_attention import seq_blocks
+
+    assert seq_blocks(443) == (448, 1)       # ViT-L 336px
+    assert seq_blocks(512) == (512, 1)
+    assert seq_blocks(577) == (304, 2)       # CLIP 336px: 608, was 1024
+    assert seq_blocks(2305) == (464, 5)      # ViT-L 768px: 2320, was 2560
+    for s in (17, 130, 443, 577, 1000, 2305, 4097):
+        block, nb = seq_blocks(s)
+        assert block % 16 == 0 and block <= 512
+        assert block * nb >= s
+        assert block * nb - s < 16 * nb  # minimal per-block padding
+
+
+def test_seq_blocks_legacy_env(monkeypatch):
+    from pnp_ovss_tpu.ops import flash_attention as fa
+
+    monkeypatch.setenv("PNP_FLASH_TIGHT", "0")
+    assert fa.seq_blocks(443) == (512, 1)
+    assert fa.seq_blocks(2305) == (512, 5)
+
+
+def test_flash_qkv_proj_matches_unfused_chain():
+    """flash_mha_qkv_proj == x + attn(qkv) @ pk + pb with the proj dot
+    f32-accumulated and rounded once (the TPU MXU value flow of the
+    unfused XLA proj); exact at f32, and exact vs the f32-preferred
+    unfused dot at bf16."""
+    from pnp_ovss_tpu.ops.flash_attention import (
+        flash_mha_from_qkv, flash_mha_qkv_proj,
+    )
+
+    for (b, s, h, d, dm, tl, dt) in [
+        (2, 448, 16, 64, 1024, 443, jnp.float32),
+        (1, 160, 4, 64, 256, 145, jnp.float32),
+        (2, 448, 16, 64, 1024, 443, jnp.bfloat16),
+    ]:
+        rng = np.random.RandomState(1)
+        qkv = jnp.asarray(rng.randn(b, s, 3 * h * d), dt)
+        x = jnp.asarray(rng.randn(b, s, dm), dt)
+        pk = jnp.asarray(rng.randn(h * d, dm) * 0.02, dt)
+        pb = jnp.asarray(rng.randn(dm) * 0.02, dt)
+        out = flash_mha_from_qkv(qkv, num_heads=h, out_dtype=dt,
+                                 true_len=tl)
+        want = x + (jnp.dot(out, pk,
+                            preferred_element_type=jnp.float32).astype(dt)
+                    + pb)
+        got = flash_mha_qkv_proj(qkv, x, pk, pb, num_heads=h,
+                                 out_dtype=dt, true_len=tl)
+        np.testing.assert_array_equal(
+            np.asarray(got[:, :tl]), np.asarray(want[:, :tl]))
+
+
+def test_flash_qkv_proj_head_group_split(monkeypatch):
+    """Multi-head-group accumulation (nhg > 1) matches the single-group
+    result to f32 partial-sum tolerance."""
+    from pnp_ovss_tpu.ops.flash_attention import flash_mha_qkv_proj
+
+    b, s, h, d, dm, tl = 2, 448, 16, 64, 1024, 443
+    rng = np.random.RandomState(2)
+    qkv = jnp.asarray(rng.randn(b, s, 3 * h * d), jnp.float32)
+    x = jnp.asarray(rng.randn(b, s, dm), jnp.float32)
+    pk = jnp.asarray(rng.randn(h * d, dm) * 0.02, jnp.float32)
+    pb = jnp.asarray(rng.randn(dm) * 0.02, jnp.float32)
+    # env vars are read at trace time: clear the jit cache between flips
+    # or the second call would silently reuse the first trace.
+    monkeypatch.setenv("PNP_FLASH_PROJ_HB", "16")
+    flash_mha_qkv_proj.clear_cache()
+    one = np.asarray(flash_mha_qkv_proj(
+        qkv, x, pk, pb, num_heads=h, true_len=tl)[:, :tl])
+    monkeypatch.setenv("PNP_FLASH_PROJ_HB", "4")
+    flash_mha_qkv_proj.clear_cache()
+    four = np.asarray(flash_mha_qkv_proj(
+        qkv, x, pk, pb, num_heads=h, true_len=tl)[:, :tl])
+    flash_mha_qkv_proj.clear_cache()
+    np.testing.assert_allclose(four, one, rtol=1e-5, atol=1e-5)

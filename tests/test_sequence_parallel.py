@@ -94,5 +94,11 @@ def test_xlen_flash_matches_equal_length_kernel():
     for lo, hi in ((0, 128), (128, 256), (384, 512)):
         part = flash_mha_flat_xlen(
             q[:, lo:hi], k, v, num_heads=h, true_kv_len=true_len)
+        # Rows >= true_len are padding garbage by contract (every consumer
+        # slices [:, :seq_len]); the canonical tight schedule computes a
+        # different carried pad per entry point, so only real rows are
+        # comparable.
+        real_hi = min(hi, true_len)
         np.testing.assert_array_equal(
-            np.asarray(part), np.asarray(full[:, lo:hi]))
+            np.asarray(part)[:, :real_hi - lo],
+            np.asarray(full[:, lo:real_hi]))
