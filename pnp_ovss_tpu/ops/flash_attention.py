@@ -363,8 +363,10 @@ def flash_mha_from_qkv(qkv3: jax.Array, *, num_heads: int, out_dtype=None,
 
 def _proj_heads_per_program(h: int, d: int, s_pad: int, bq: int,
                             dm: int) -> int:
-    """Largest head group whose VMEM working set fits (~14 MB budget —
-    the estimate below already includes Mosaic's input double-buffering).
+    """Largest head group whose VMEM working set fits (~12 MB budget —
+    the estimate below includes Mosaic's input double-buffering but not
+    the per-head [bq, block_k] f32 score transients, hence the headroom;
+    hb=16 at 336px measured 20.4 MB scoped and was rejected by Mosaic).
     A single group (hb == h) additionally makes the proj contraction one
     full-depth dot, bit-identical to the unfused XLA proj.
     PNP_FLASH_PROJ_HB forces a value for A/B runs."""
@@ -379,7 +381,7 @@ def _proj_heads_per_program(h: int, d: int, s_pad: int, bq: int,
         # f32 acc + bf16 out-slice scratch, bytes
         est = (2 * (bq * hd + 2 * s_pad * hd + bq * dm) + hd * dm
                + bq * dm) * 2 + bq * dm * 4 + bq * hd * 2
-        if est <= 14 * 1024 * 1024:
+        if est <= 12 * 1024 * 1024:
             return hb
     return HEADS_PER_PROGRAM
 

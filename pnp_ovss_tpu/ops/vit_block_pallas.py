@@ -34,6 +34,7 @@ block).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -98,7 +99,9 @@ def ln_matmul(x: jax.Array, gamma: jax.Array, beta: jax.Array,
               eps: float = 1e-6, out_dtype=jnp.bfloat16) -> jax.Array:
     """LN(x) @ w + bias with the LN fused into the matmul read.
 
-    x: [M, D] (any M; rows are padded to the 512 block internally),
+    x: [M, D] (any M; rows are blocked internally — PNP_LNQKV_BM tunes
+    the target row block; the full weight streams through VMEM once per
+    row block, so larger blocks cut the weight-refetch traffic),
     gamma/beta: [D] f32, w: [D, N] (N % 128 == 0), bias: [N].
     Returns [M, N] in ``out_dtype``. Matmul operands are cast to
     ``out_dtype`` (bf16 on TPU) exactly like the unfused
@@ -106,17 +109,18 @@ def ln_matmul(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     """
     m, d = x.shape
     n = w.shape[1]
-    m_pad = -(-m // _BM) * _BM
+    bm = _pick_bm(m, int(os.environ.get("PNP_LNQKV_BM", _BM)))
+    m_pad = -(-m // bm) * bm
     if m_pad != m:
         x = jnp.pad(x, ((0, m_pad - m), (0, 0)))
     bn = _BN_QKV if n % _BN_QKV == 0 else 128
-    grid = (m_pad // _BM, n // bn)
+    grid = (m_pad // bm, n // bn)
     kernel = functools.partial(_ln_matmul_kernel, eps=eps)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_BM, d), lambda i, j: (i, 0),
+            pl.BlockSpec((bm, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -127,10 +131,10 @@ def ln_matmul(x: jax.Array, gamma: jax.Array, beta: jax.Array,
             pl.BlockSpec((1, bn), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_BM, bn), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((_BM, d), out_dtype)],
+        scratch_shapes=[pltpu.VMEM((bm, d), out_dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),

@@ -285,11 +285,11 @@ def test_seq_blocks_legacy_env(monkeypatch):
     assert fa.seq_blocks(2305) == (512, 5)
 
 
-def test_flash_qkv_proj_matches_unfused_chain():
+def test_flash_qkv_proj_matches_unfused_chain(monkeypatch):
     """flash_mha_qkv_proj == x + attn(qkv) @ pk + pb with the proj dot
     f32-accumulated and rounded once (the TPU MXU value flow of the
-    unfused XLA proj); exact at f32, and exact vs the f32-preferred
-    unfused dot at bf16."""
+    unfused XLA proj): bit-exact at a single head group (hb == h), and
+    within f32 partial-sum tolerance at the shipping auto hb."""
     from pnp_ovss_tpu.ops.flash_attention import (
         flash_mha_from_qkv, flash_mha_qkv_proj,
     )
@@ -309,10 +309,22 @@ def test_flash_qkv_proj_matches_unfused_chain():
         want = x + (jnp.dot(out, pk,
                             preferred_element_type=jnp.float32).astype(dt)
                     + pb)
+        monkeypatch.setenv("PNP_FLASH_PROJ_HB", str(h))
+        flash_mha_qkv_proj.clear_cache()
         got = flash_mha_qkv_proj(qkv, x, pk, pb, num_heads=h,
                                  out_dtype=dt, true_len=tl)
         np.testing.assert_array_equal(
             np.asarray(got[:, :tl]), np.asarray(want[:, :tl]))
+        monkeypatch.delenv("PNP_FLASH_PROJ_HB")
+        flash_mha_qkv_proj.clear_cache()
+        got = flash_mha_qkv_proj(qkv, x, pk, pb, num_heads=h,
+                                 out_dtype=dt, true_len=tl)
+        np.testing.assert_allclose(
+            np.asarray(got[:, :tl]).astype(np.float32),
+            np.asarray(want[:, :tl]).astype(np.float32),
+            rtol=1e-5 if dt == jnp.float32 else 1e-2,
+            atol=1e-5 if dt == jnp.float32 else 1e-2)
+    flash_mha_qkv_proj.clear_cache()
 
 
 def test_flash_qkv_proj_head_group_split(monkeypatch):
