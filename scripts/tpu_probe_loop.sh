@@ -15,7 +15,8 @@ while true; do
   if timeout 180 python - >> "$LOG" 2>&1 <<'EOF'
 import numpy as np, jax, jax.numpy as jnp
 x = jnp.ones((256, 256), jnp.bfloat16)
-y = np.asarray(jnp.dot(x, x))
+# checksum in f32 (a bf16 accumulation rounds at 2^24-scale sums)
+y = np.asarray(jnp.dot(x, x), np.float32)
 assert float(y.sum()) == 256.0 * 256 * 256
 print("dispatch ok:", jax.devices())
 EOF
