@@ -299,7 +299,7 @@ class ViTBlockFused(nn.Module):
                 num_heads=c.num_heads, out_dtype=dtype,
                 true_kv_len=self.true_len,
             )
-        elif _flash.proj_fold_enabled():
+        elif _flash.proj_fold_enabled(self.true_len):
             # Attention + proj + residual in ONE kernel: the attention
             # output never touches HBM and there is no XLA matmul between
             # the Pallas calls (the whole block is 3 kernels).

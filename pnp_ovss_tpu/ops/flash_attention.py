@@ -93,21 +93,33 @@ def seq_blocks(true_len: int) -> "tuple[int, int]":
     return block, nb
 
 
-def _pick_batch_group(b: int, s_pad: int) -> int:
+def _pick_batch_group(b: int, s_pad: int, hd_block: int = 128) -> int:
     """Batch-group size: fold several batch elements into one program when
     the k loop is a single whole-sequence block (short-sequence regime
     where per-program overhead, not compute, dominates — the round-2
     bisect measured ~2us x 6720 programs ~= 13 ms of the 336px encode).
     Long sequences keep bb=1 (K/V VMEM footprint grows with S_pad).
-    PNP_FLASH_BB forces a value (1 disables grouping) for A/B runs."""
+
+    Bigger groups keep winning while the working set fits VMEM: the
+    round-5 TPU A/B at B=35 / s_pad 448 measured bb=7 at 63.8 img/s
+    end-to-end vs bb=5 (the old auto) at 61.1 and bb=1 at 49.9. So take
+    the LARGEST divisor of ``b`` (capped at 8 — the bb x hb head loop is
+    statically unrolled) whose double-buffered q/k/v/o block estimate
+    stays under ~8 MB of the 16 MB scoped VMEM (bb=7 at s_pad 448 /
+    hd_block 128 ~= 6.4 MB; the headroom covers the per-head f32 score
+    transients). PNP_FLASH_BB forces a value (1 disables grouping) for
+    A/B runs."""
     env = os.environ.get("PNP_FLASH_BB")
     if env:
         forced = int(env)
         return forced if forced > 0 and b % forced == 0 else 1
     if s_pad > _FLAT_BLOCK_K:
         return 1
-    for cand in (5, 4, 3, 2):
-        if b % cand == 0:
+    bq = min(_FLAT_BLOCK_Q, s_pad)
+    for cand in range(min(b, 8), 1, -1):
+        # 2 (double-buffer) x bb x (q + k + v + o blocks) x 2 bytes
+        est = 2 * cand * (2 * bq + 2 * s_pad) * hd_block * 2
+        if b % cand == 0 and est <= 8 * 1024 * 1024:
             return cand
     return 1
 
@@ -228,7 +240,7 @@ def flash_mha_flat(q2: jax.Array, k2: jax.Array, v2: jax.Array, *,
     vf = _fit_rows(v2, s_pad)
     true_len = jnp.full((1,), tl, jnp.int32)
 
-    bb = _pick_batch_group(b, s_pad)
+    bb = _pick_batch_group(b, s_pad, hb * d)
 
     grid = (b // bb, h // hb, s_pad // bq)
     kernel = functools.partial(_flat_kernel, hb=hb, d=d, scale=scale, bb=bb,
@@ -284,7 +296,7 @@ def flash_mha_flat_qkv(qkv3: jax.Array, *, num_heads: int, out_dtype=None,
     qkvf = _fit_rows(qkv3, s_pad)
     true_len = jnp.full((1,), tl, jnp.int32)
 
-    bb = _pick_batch_group(b, s_pad)
+    bb = _pick_batch_group(b, s_pad, hb * d)
 
     nhg = h // hb  # head groups; q/k/v sit nhg block-columns apart
     grid = (b // bb, nhg, s_pad // bq)
@@ -529,10 +541,26 @@ def flash_mha_qkv_proj(qkv3: jax.Array, x: jax.Array, proj_k: jax.Array,
     return _fit_rows(out, s)
 
 
-def proj_fold_enabled() -> bool:
-    """PNP_FLASH_PROJ gates the attention+proj+residual fused kernel
-    (A/B knob; default decided by TPU evidence — see NOTES.md)."""
-    return os.environ.get("PNP_FLASH_PROJ", "0") not in ("0", "false")
+def proj_fold_enabled(true_len: "int | None" = None) -> bool:
+    """Whether the attention+proj+residual fused kernel should handle
+    this sequence. Default (auto, round-5 TPU A/B): ON in the
+    long-sequence streaming regime — more than one k block, where the
+    removed attention-output HBM round trip dominates (768px/2305
+    tokens: 10.19 img/s fused vs 9.87 unfused) — and OFF in the
+    single-block regime, where the bb-batch-grouped flat kernel wins
+    instead (336px: 63.8 grouped-unfused vs 63.0 proj-fold; the proj
+    kernel runs one batch per program, so it cannot amortise program
+    issue overhead the way the grouped kernel does).
+    PNP_FLASH_PROJ=1/0 forces either way for A/B runs."""
+    env = os.environ.get("PNP_FLASH_PROJ", "auto")
+    if env in ("0", "false"):
+        return False
+    if env in ("auto", ""):
+        if true_len is None:
+            return False
+        _, nb = seq_blocks(true_len)
+        return nb > 1
+    return True
 
 
 def xlen_supported(sq: int, skv: int, h: int, d: int) -> bool:

@@ -150,6 +150,67 @@ def test_flash_mha_flat_batch_group_matches_xla():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_flash_mha_flat_batch_group7_matches_xla():
+    """b=7 -> bb=7, the round-5 production grouping (B=35 splits 5x7;
+    the auto now prefers the larger divisor — TPU A/B 63.8 vs 61.1
+    img/s). Parity vs transposed XLA attention on the grouped path."""
+    from pnp_ovss_tpu.ops.flash_attention import (
+        flash_mha_flat, _pick_batch_group,
+    )
+
+    rng = np.random.RandomState(13)
+    b, s, h, d = 7, 443, 2, 64
+    assert _pick_batch_group(b, 448, h * d) == 7
+    q2 = jnp.asarray(rng.randn(b, s, h * d), jnp.float32)
+    k2 = jnp.asarray(rng.randn(b, s, h * d), jnp.float32)
+    v2 = jnp.asarray(rng.randn(b, s, h * d), jnp.float32)
+    got = np.asarray(flash_mha_flat(q2, k2, v2, num_heads=h, true_len=s))
+
+    def split(x):
+        return jnp.transpose(x.reshape(b, s, h, d), (0, 2, 1, 3))
+
+    want = np.asarray(jnp.transpose(
+        attn_ops.mha_xla(split(q2), split(k2), split(v2)), (0, 2, 1, 3)
+    ).reshape(b, s, h * d))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_pick_batch_group_policy(monkeypatch):
+    """The auto policy: largest divisor <= 8 under the ~8 MB VMEM
+    estimate; bb=1 for multi-k-block sequences; env force wins."""
+    from pnp_ovss_tpu.ops.flash_attention import _pick_batch_group
+
+    monkeypatch.delenv("PNP_FLASH_BB", raising=False)
+    assert _pick_batch_group(35, 448, 128) == 7   # 35 = 5*7, prefer 7
+    assert _pick_batch_group(8, 448, 128) == 8
+    assert _pick_batch_group(70, 448, 128) == 7   # 70: 8,7 divisor walk
+    assert _pick_batch_group(35, 2320, 128) == 1  # long-seq streaming
+    # Wider head blocks (d=128 -> hd_block 256) halve the group that
+    # fits the same budget.
+    assert _pick_batch_group(8, 512, 256) == 4
+    assert _pick_batch_group(31, 448, 128) == 1   # prime, no divisor
+    monkeypatch.setenv("PNP_FLASH_BB", "5")
+    assert _pick_batch_group(35, 448, 128) == 5
+    monkeypatch.setenv("PNP_FLASH_BB", "4")       # non-divisor -> 1
+    assert _pick_batch_group(35, 448, 128) == 1
+
+
+def test_proj_fold_auto_regime(monkeypatch):
+    """proj-fold default: ON only in the multi-k-block streaming regime
+    (768px 10.19 vs 9.87 img/s fused-wins; 336px 63.8 grouped-unfused
+    vs 63.0 fused — see NOTES.md round-5 A/B)."""
+    from pnp_ovss_tpu.ops.flash_attention import proj_fold_enabled
+
+    monkeypatch.delenv("PNP_FLASH_PROJ", raising=False)
+    assert not proj_fold_enabled(443)    # 336px: one 448 block
+    assert proj_fold_enabled(2305)       # 768px: 5 x 464 blocks
+    assert not proj_fold_enabled(None)   # no length info -> conservative
+    monkeypatch.setenv("PNP_FLASH_PROJ", "1")
+    assert proj_fold_enabled(443)
+    monkeypatch.setenv("PNP_FLASH_PROJ", "0")
+    assert not proj_fold_enabled(2305)
+
+
 def test_flash_mha_flat_qkv_views_match_sliced():
     """flash_mha_flat_qkv (q/k/v as BlockSpec views into one [B, S, 3HD]
     array) == flash_mha_flat on the three channel slices — both against

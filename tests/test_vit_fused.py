@@ -74,6 +74,21 @@ def test_fused_disabled_by_env(monkeypatch):
     )
 
 
+def test_proj_fold_encode_matches_default(monkeypatch):
+    """PNP_FLASH_PROJ=1 (attention+proj+residual in one kernel) must not
+    change the encode: at this config the auto head group is hb == h
+    (nhg=1), where the proj contraction is a single full-depth dot with
+    the same value flow as the unfused `flash -> dot + bias + residual`
+    chain — bit-identical output (op-level pin:
+    test_flash_qkv_proj_matches_unfused_chain)."""
+    model, params, images = _params_and_image()
+    out_def = model.apply(params, images)
+    monkeypatch.setenv("PNP_FLASH_PROJ", "1")
+    out_proj = model.apply(params, images)  # unjitted: re-traces with env
+    np.testing.assert_array_equal(
+        np.asarray(out_def, np.float32), np.asarray(out_proj, np.float32))
+
+
 def test_ln_matmul_matches_reference():
     rng = np.random.RandomState(3)
     m, d, n = 300, 128, 384  # non-block-multiple rows
