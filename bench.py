@@ -145,7 +145,10 @@ def _run_leg(img_size: "int | None" = None, *,
     on_tpu = jax.default_backend() not in ("cpu",)
     # BENCH_IMG_SIZE=768 measures the long-sequence path (2305-token ViT
     # through the blockwise flash kernel — the reference cannot batch
-    # this at all, SURVEY §5); default batch drops to 8 there.
+    # this at all, SURVEY §5); default batch drops to 12 there (round-5
+    # same-session sweep: B=12 10.29 img/s vs B=8 10.02, B=16 9.06 —
+    # /tmp/r5_bsweep; per-image math is batch-invariant so the flip
+    # changes no numerics).
     if img_size is None:
         img_size = int(os.environ.get("BENCH_IMG_SIZE", cfg.img_size))
     if img_size != cfg.img_size:
@@ -160,7 +163,7 @@ def _run_leg(img_size: "int | None" = None, *,
                 vit=dataclasses.replace(cfg.model.vit, image_size=img_size),
             ),
         )
-    default_batch = (8 if img_size >= 768 else cfg.batch_size) if on_tpu else 2
+    default_batch = (12 if img_size >= 768 else cfg.batch_size) if on_tpu else 2
     batch = int(os.environ.get("BENCH_BATCH", default_batch)) \
         if honor_batch_env else default_batch
 

@@ -105,10 +105,14 @@ def _pick_batch_group(b: int, s_pad: int, hd_block: int = 128) -> int:
     end-to-end vs bb=5 (the old auto) at 61.1 and bb=1 at 49.9. So take
     the LARGEST divisor of ``b`` (capped at 8 — the bb x hb head loop is
     statically unrolled) whose double-buffered q/k/v/o block estimate
-    stays under ~8 MB of the 16 MB scoped VMEM (bb=7 at s_pad 448 /
-    hd_block 128 ~= 6.4 MB; the headroom covers the per-head f32 score
-    transients). PNP_FLASH_BB forces a value (1 disables grouping) for
-    A/B runs."""
+    stays strictly under 7 MB. The cap is CALIBRATED against the
+    measured scoped limit, not derived: bb=8 at s_pad 448 / hd_block 128
+    (estimate exactly 7 MB) compiles to a 16.29 MB scoped-VMEM stack —
+    300 KB over the
+    16 MB hardware limit (Mosaic's f32 score/prob transients add ~2.2x
+    the io-block estimate) — while bb=7 (estimate 6.42 MB) fits. 7 MB
+    encodes that boundary. PNP_FLASH_BB forces a value (1 disables
+    grouping) for A/B runs."""
     env = os.environ.get("PNP_FLASH_BB")
     if env:
         forced = int(env)
@@ -119,7 +123,7 @@ def _pick_batch_group(b: int, s_pad: int, hd_block: int = 128) -> int:
     for cand in range(min(b, 8), 1, -1):
         # 2 (double-buffer) x bb x (q + k + v + o blocks) x 2 bytes
         est = 2 * cand * (2 * bq + 2 * s_pad) * hd_block * 2
-        if b % cand == 0 and est <= 8 * 1024 * 1024:
+        if b % cand == 0 and est < 7 * 1024 * 1024:
             return cand
     return 1
 

@@ -176,18 +176,25 @@ def test_flash_mha_flat_batch_group7_matches_xla():
 
 
 def test_pick_batch_group_policy(monkeypatch):
-    """The auto policy: largest divisor <= 8 under the ~8 MB VMEM
-    estimate; bb=1 for multi-k-block sequences; env force wins."""
+    """The auto policy: largest divisor <= 8 under the 7 MB io-block
+    estimate; bb=1 for multi-k-block sequences; env force wins.
+
+    The 7 MB cap is calibrated to the chip: bb=8 at s_pad 448 (estimate
+    7.34 MB) compiled to a 16.29 MB scoped-VMEM stack — 300 KB OVER the
+    16 MB limit (round-5 B=40 bench leg failed to compile) — while bb=7
+    (6.42 MB) runs in production. bb=8 must therefore be rejected."""
     from pnp_ovss_tpu.ops.flash_attention import _pick_batch_group
 
     monkeypatch.delenv("PNP_FLASH_BB", raising=False)
     assert _pick_batch_group(35, 448, 128) == 7   # 35 = 5*7, prefer 7
-    assert _pick_batch_group(8, 448, 128) == 8
+    assert _pick_batch_group(8, 448, 128) == 4    # bb=8 OOMs scoped VMEM
+    assert _pick_batch_group(40, 448, 128) == 5   # 8 rejected -> 5
+    assert _pick_batch_group(48, 448, 128) == 6   # 8 rejected -> 6
     assert _pick_batch_group(70, 448, 128) == 7   # 70: 8,7 divisor walk
     assert _pick_batch_group(35, 2320, 128) == 1  # long-seq streaming
-    # Wider head blocks (d=128 -> hd_block 256) halve the group that
-    # fits the same budget.
-    assert _pick_batch_group(8, 512, 256) == 4
+    # Wider head blocks (d=128 -> hd_block 256) shrink the group that
+    # fits the same budget (cand=4 estimates 8.4 MB > 7 MB -> 2).
+    assert _pick_batch_group(8, 512, 256) == 2
     assert _pick_batch_group(31, 448, 128) == 1   # prime, no divisor
     monkeypatch.setenv("PNP_FLASH_BB", "5")
     assert _pick_batch_group(35, 448, 128) == 5
