@@ -272,7 +272,7 @@ def ln_mlp_residual(x: jax.Array, gamma: jax.Array, beta: jax.Array,
                     w1: jax.Array, b1: jax.Array,
                     w2: jax.Array, b2: jax.Array, *,
                     eps: float = 1e-6, out_dtype=jnp.bfloat16,
-                    bm: int = 896, bf: int = 512) -> jax.Array:
+                    bm: int = 784, bf: int = 512) -> jax.Array:
     """x + gelu(LN(x) @ w1 + b1) @ w2 + b2, one Pallas kernel.
 
     x: [M, D]; w1: [D, F]; w2: [F, D]; F % bf == 0, D % 128 == 0.
@@ -281,9 +281,22 @@ def ln_mlp_residual(x: jax.Array, gamma: jax.Array, beta: jax.Array,
     HBM, ~380 MB per ViT-L layer at B=35. The full W1/W2 stream through
     VMEM once per ROW block, so bm is chosen as large as the VMEM
     working set allows (row count M/bm is the weight-refetch factor).
+
+    The 784 target is the largest row block that compiles for EVERY M:
+    bm=896 (the round-3 chain-tuned value) exceeds the 16 MB scoped-VMEM
+    limit at some grids — the round-5 batch sweep measured 16.67 MB OOM
+    at M=17920 (B=40) and M=25088 (B=56) while M=18816 (B=42) fit; the
+    boundary is not predictable from the block shape alone. Production
+    B=35 (M=15680, not 896-divisible) always descended to bm=784, so
+    this default changes no shipping config (768px M=27840 descends to
+    696 from either target). PNP_MLP_BM forces a target for A/B runs;
+    bit-identical math at any bm (full-depth contraction per block).
     """
     m, d = x.shape
     f = w1.shape[1]
+    env_bm = os.environ.get("PNP_MLP_BM")
+    if env_bm:
+        bm = int(env_bm)
     bm = _pick_bm(m, bm)
     m_pad = -(-m // bm) * bm
     if m_pad != m:

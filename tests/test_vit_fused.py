@@ -133,6 +133,23 @@ def test_ln_mlp_residual_matches_reference():
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
 
 
+def test_pick_bm_policy():
+    """The MLP row-block target is 784, calibrated by the round-5 batch
+    sweep: bm=896 compiled to a 16.67 MB scoped-VMEM stack (over the
+    16 MB limit) at M=17920/25088 while production B=35 (M=15680, not
+    896-divisible) always descended to 784. Every production M must
+    resolve to its known-good block."""
+    from pnp_ovss_tpu.ops.vit_block_pallas import _pick_bm
+
+    assert _pick_bm(15680, 784) == 784   # B=35 x s_pad 448 (production)
+    assert _pick_bm(18816, 784) == 784   # B=42 x 448 (best sweep leg)
+    assert _pick_bm(17920, 784) == 640   # B=40 x 448 (896 OOM'd here)
+    assert _pick_bm(21952, 784) == 784   # B=49 x 448
+    assert _pick_bm(27840, 784) == 696   # B=12 x 2320 (768px default;
+    # the old 896 target also descended to 696 — no production change)
+    assert _pick_bm(520, 784) == 520     # m < target -> whole rows
+
+
 def test_erf_polynomial_accuracy():
     """Single-branch clamped erf: <= 1.1e-6 abs inside |x| <= 2.2; the
     clamp beyond agrees with erf at bf16 output precision (erf rounds to
